@@ -1,0 +1,42 @@
+"""Test configuration: run the suite on an 8-device virtual CPU mesh.
+
+Real-TPU behavior is covered by bench.py and __graft_entry__.py, which the
+driver runs on hardware; the test suite targets the XLA CPU backend so it can
+validate numerics and multi-chip sharding without TPUs (SURVEY.md §4).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_SAMPLES = "/root/reference/Watermark_GPU/samples"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(28390211)
+
+
+@pytest.fixture(scope="session")
+def small_image(rng):
+    """A structured 72x96 grayscale test image on 0..255."""
+    h, w = 72, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 96.0 + 64.0 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+    noise = rng.normal(0.0, 12.0, size=(h, w)).astype(np.float32)
+    return np.clip(base + noise, 0.0, 255.0).astype(np.float32)
+
+
+@pytest.fixture(scope="session")
+def small_watermark(rng, small_image):
+    return rng.normal(0.0, 1.0, size=small_image.shape).astype(np.float32)

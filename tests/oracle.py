@@ -1,0 +1,103 @@
+"""Independent NumPy loop-level oracle of the watermarking math.
+
+Deliberately written as plain Python loops over the algorithm *definitions*
+(local variance mask; 8-neighbor least-squares predictor; normalized
+correlation) so the JAX ops are validated against something that shares no
+code with them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def clamp_get(img: np.ndarray, r: int, c: int) -> float:
+    h, w = img.shape
+    return img[min(max(r, 0), h - 1), min(max(c, 0), w - 1)]
+
+
+NEIGHBOR_OFFSETS = [(-1, -1), (-1, 0), (-1, 1),
+                    (0, -1), (0, 1),
+                    (1, -1), (1, 0), (1, 1)]
+
+
+def nvf_mask(img: np.ndarray, p: int = 3) -> np.ndarray:
+    pad = p // 2
+    h, w = img.shape
+    out = np.zeros((h, w), dtype=np.float64)
+    for r in range(h):
+        for c in range(w):
+            vals = [clamp_get(img, r + i, c + j)
+                    for i in range(-pad, pad + 1)
+                    for j in range(-pad, pad + 1)]
+            vals = np.asarray(vals, dtype=np.float64)
+            mean = vals.sum() / (p * p)
+            var = (vals * vals).sum() / (p * p) - mean * mean
+            out[r, c] = var / (1.0 + var)
+    return out
+
+
+def neighbors_of(img: np.ndarray, r: int, c: int) -> np.ndarray:
+    return np.asarray(
+        [clamp_get(img, r + dr, c + dc) for dr, dc in NEIGHBOR_OFFSETS],
+        dtype=np.float64)
+
+
+def me_normal_equations(img: np.ndarray):
+    h, w = img.shape
+    rx_m = np.zeros((8, 8), dtype=np.float64)
+    rx_v = np.zeros(8, dtype=np.float64)
+    for r in range(h):
+        for c in range(w):
+            n = neighbors_of(img, r, c)
+            rx_m += np.outer(n, n)
+            rx_v += n * img[r, c]
+    return rx_m, rx_v
+
+
+def predict(img: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    out = np.zeros((h, w), dtype=np.float64)
+    for r in range(h):
+        for c in range(w):
+            out[r, c] = float(np.dot(coeffs, neighbors_of(img, r, c)))
+    return out
+
+
+def me_mask_and_error(img: np.ndarray):
+    rx_m, rx_v = me_normal_equations(img)
+    coeffs = np.linalg.solve(rx_m, rx_v)
+    err = img - predict(img, coeffs)
+    mask = np.abs(err) / np.abs(err).max()
+    return mask, err, coeffs
+
+
+def embed(img_gray: np.ndarray, output: np.ndarray, mask: np.ndarray,
+          watermark: np.ndarray, psnr: float):
+    u = mask * watermark
+    n = u.size
+    sf = 255.0 / np.sqrt(10.0 ** (psnr / 10.0))
+    strength = sf / (np.linalg.norm(u) / np.sqrt(n))
+    add = u * strength
+    if output.ndim == 3:
+        add = add[..., None]
+    return np.clip(output + add, 0, 255), strength
+
+
+def correlation(e_u: np.ndarray, e_z: np.ndarray) -> float:
+    a, b = e_u.ravel(), e_z.ravel()
+    return float(np.dot(a, b) / (np.linalg.norm(b) * np.linalg.norm(a)))
+
+
+def detect(img: np.ndarray, watermark: np.ndarray, mask_type: str,
+           p: int = 3) -> float:
+    rx_m, rx_v = me_normal_equations(img)
+    coeffs = np.linalg.solve(rx_m, rx_v)
+    e_z = img - predict(img, coeffs)
+    if mask_type == "me":
+        mask = np.abs(e_z) / np.abs(e_z).max()
+    else:
+        mask = nvf_mask(img, p)
+    u = mask * watermark
+    e_u = u - predict(u, coeffs)
+    return correlation(e_u, e_z)

@@ -1,0 +1,102 @@
+"""Unit tests: JAX ops vs the independent NumPy loop oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from watermarking_gpu_tpu import ops
+
+import oracle
+
+
+@pytest.mark.parametrize("p", [3, 5, 7, 9])
+def test_nvf_mask_matches_oracle(small_image, p):
+    got = np.asarray(ops.nvf_mask(jnp.asarray(small_image), p=p))
+    want = oracle.nvf_mask(small_image, p=p)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-6)
+
+
+def test_neighbor_stack_clamps_edges(small_image):
+    stack = np.asarray(ops.neighbor_stack(jnp.asarray(small_image)))
+    for k, (dr, dc) in enumerate(ops.NEIGHBOR_OFFSETS):
+        for (r, c) in [(0, 0), (0, 5), (5, 0),
+                       (small_image.shape[0] - 1, small_image.shape[1] - 1)]:
+            assert stack[k, r, c] == oracle.clamp_get(small_image,
+                                                      r + dr, c + dc)
+
+
+def test_me_normal_equations_match_oracle(small_image):
+    rx_m, rx_v = ops.me_normal_equations(jnp.asarray(small_image))
+    want_m, want_v = oracle.me_normal_equations(small_image)
+    # f32 accumulation over N pixels vs the f64 oracle: ~1e-5 relative,
+    # within the 1e-4 parity budget (BASELINE.md)
+    np.testing.assert_allclose(np.asarray(rx_m), want_m, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rx_v), want_v, rtol=1e-4)
+    # symmetry of the autocorrelation matrix
+    np.testing.assert_allclose(np.asarray(rx_m), np.asarray(rx_m).T, rtol=1e-6)
+
+
+def test_prediction_and_mask_match_oracle(small_image):
+    want_mask, want_err, want_coeffs = oracle.me_mask_and_error(small_image)
+    rx_m, rx_v = ops.me_normal_equations(jnp.asarray(small_image))
+    coeffs, valid = ops.solve_coefficients(rx_m, rx_v)
+    assert bool(valid)
+    np.testing.assert_allclose(np.asarray(coeffs), want_coeffs,
+                               rtol=5e-3, atol=5e-4)
+    err = ops.prediction_error(jnp.asarray(small_image), coeffs)
+    np.testing.assert_allclose(np.asarray(err), want_err, rtol=2e-2, atol=2e-2)
+    mask = ops.me_mask_from_error(err)
+    np.testing.assert_allclose(np.asarray(mask), want_mask, atol=2e-3)
+
+
+def test_solve_singular_system_flags_invalid():
+    singular = jnp.zeros((8, 8), dtype=jnp.float32)
+    coeffs, valid = ops.solve_coefficients(singular, jnp.ones(8))
+    assert not bool(valid)
+    assert np.all(np.isfinite(np.asarray(coeffs)))
+
+
+def test_embed_matches_oracle(small_image, small_watermark):
+    mask = ops.nvf_mask(jnp.asarray(small_image))
+    got, strength = ops.embed_watermark(
+        jnp.asarray(small_image), mask, jnp.asarray(small_watermark),
+        ops.strength_factor(40.0))
+    want, want_strength = oracle.embed(
+        small_image, small_image, np.asarray(mask), small_watermark, 40.0)
+    np.testing.assert_allclose(float(strength), want_strength, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-3)
+
+
+def test_embed_rgb_broadcasts(small_image, small_watermark):
+    rgb = np.stack([small_image] * 3, axis=-1) + np.array([0., 10., 20.],
+                                                          dtype=np.float32)
+    rgb = np.clip(rgb, 0, 255)
+    mask = ops.nvf_mask(jnp.asarray(small_image))
+    got, _ = ops.embed_watermark(jnp.asarray(rgb), mask,
+                                 jnp.asarray(small_watermark),
+                                 ops.strength_factor(40.0))
+    assert got.shape == rgb.shape
+    # channel differences are preserved where no clamping occurred
+    interior = np.asarray(got)[5:-5, 5:-5]
+    unclamped = (interior > 0).all(axis=-1) & (interior < 255).all(axis=-1)
+    diffs = interior[..., 1] - interior[..., 0]
+    np.testing.assert_allclose(diffs[unclamped[..., None][..., 0]], 10.0,
+                               atol=1e-3)
+
+
+def test_correlation_properties(rng):
+    a = rng.normal(size=(32, 32)).astype(np.float32)
+    assert float(ops.correlation(jnp.asarray(a), jnp.asarray(a))) == \
+        pytest.approx(1.0, abs=1e-5)
+    assert float(ops.correlation(jnp.asarray(a), jnp.asarray(-a))) == \
+        pytest.approx(-1.0, abs=1e-5)
+
+
+def test_rgb_to_gray_bt601():
+    rgb = np.array([[[255.0, 0.0, 0.0], [0.0, 255.0, 0.0],
+                     [0.0, 0.0, 255.0], [255.0, 255.0, 255.0]]],
+                   dtype=np.float32)
+    gray = np.asarray(ops.rgb_to_gray(jnp.asarray(rgb)))
+    np.testing.assert_allclose(
+        gray[0], [255 * 0.299, 255 * 0.587, 255 * 0.114, 255.0], rtol=1e-5)

@@ -1,0 +1,159 @@
+"""settings.ini-driven benchmark CLI, mirroring the reference app.
+
+Re-implements ``main()`` / ``testForImage`` / video dispatch from
+``/root/reference/Watermark_GPU/main.cpp:62-242`` with the same observable
+behavior: warm-up, ``loops_for_test`` averaged timings printed as seconds or
+FPS, watermark strength, correlations to 16 decimals, optional ``*_W_NVF`` /
+``*_W_ME`` u8 outputs, and ``[paths] video`` switching to the video pipeline.
+
+Usage: ``python -m watermarking_gpu_tpu.cli.main [settings.ini]``
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import numpy as np
+
+from ..io import (Settings, add_suffix_before_extension, load_image_rgb,
+                  load_settings, save_image_u8)
+from ..models import MaskType, Watermark
+from ..ops import rgb_to_gray
+from ..utils.timing import Timer, execution_time
+
+MIN_DIM = 64  # main.cpp:161
+
+
+def _select_device(index: int):
+    devices = jax.devices()
+    if not 0 <= index < len(devices):
+        print("NOTE: Invalid device specified, using default 0")
+        index = 0
+    device = devices[index]
+    print(f"Using device [{index}]: {device.device_kind} "
+          f"({device.platform})\n")
+    return device
+
+
+def test_for_image(settings: Settings) -> int:
+    show_fps = settings.execution_time_in_fps
+    loops = settings.loops_for_test if settings.loops_for_test > 0 else 5
+    print(f"Each test will be executed {loops} times. "
+          f"Average time will be shown below")
+
+    timer = Timer()
+    timer.start()
+    rgb_host = load_image_rgb(settings.image)
+    rgb = jax.device_put(rgb_host)
+    image = jax.block_until_ready(rgb_to_gray(rgb))
+    timer.end()
+    rows, cols = image.shape
+    print("Time to load and transfer RGB image from disk to HBM: "
+          f"{timer.elapsed_seconds:.6f}\n")
+
+    if rows < MIN_DIM or cols < MIN_DIM:
+        print("Image dimensions too low")
+        return 1
+
+    engine = Watermark(rows, cols, settings.watermark, p=settings.p,
+                       psnr=settings.psnr)
+
+    # warm-up (compilation) as the reference warms ArrayFire (main.cpp:168-170)
+    jax.block_until_ready(engine.embed(image, rgb, MaskType.NVF)[0])
+    jax.block_until_ready(engine.embed(image, rgb, MaskType.ME)[0])
+
+    def timed(fn):
+        total = 0.0
+        result = None
+        for _ in range(loops):
+            timer.start()
+            result = fn()
+            timer.end(result)
+            total += timer.elapsed_seconds
+        return result, total / loops
+
+    (watermark_nvf, strength_nvf), secs = timed(
+        lambda: engine.embed(image, rgb, MaskType.NVF))
+    print(f"Watermark strength (parameter a): {float(strength_nvf)}\n"
+          f"Calculation of NVF mask with {rows} rows and {cols} columns "
+          f"and parameters:\np = {settings.p}  PSNR(dB) = {settings.psnr}\n"
+          f"{execution_time(show_fps, secs)}\n")
+
+    (watermark_me, strength_me), secs = timed(
+        lambda: engine.embed(image, rgb, MaskType.ME))
+    print(f"Watermark strength (parameter a): {float(strength_me)}\n"
+          f"Calculation of ME mask with {rows} rows and {cols} columns "
+          f"and parameters:\np = {settings.p}  PSNR(dB) = {settings.psnr}\n"
+          f"{execution_time(show_fps, secs)}\n")
+
+    watermarked_nvf_gray = rgb_to_gray(watermark_nvf)
+    watermarked_me_gray = rgb_to_gray(watermark_me)
+
+    # warm-up detection
+    jax.block_until_ready(engine.detect(watermarked_nvf_gray, MaskType.NVF))
+    jax.block_until_ready(engine.detect(watermarked_me_gray, MaskType.ME))
+
+    correlation_nvf, secs = timed(
+        lambda: engine.detect(watermarked_nvf_gray, MaskType.NVF))
+    print(f"Calculation of the watermark correlation (NVF) of an image "
+          f"with {rows} rows and {cols} columns and parameters:\n"
+          f"p = {settings.p}  PSNR(dB) = {settings.psnr}\n"
+          f"{execution_time(show_fps, secs)}\n")
+
+    correlation_me, secs = timed(
+        lambda: engine.detect(watermarked_me_gray, MaskType.ME))
+    print(f"Calculation of the watermark correlation (ME) of an image "
+          f"with {rows} rows and {cols} columns and parameters:\n"
+          f"p = {settings.p}  PSNR(dB) = {settings.psnr}\n"
+          f"{execution_time(show_fps, secs)}\n")
+
+    print(f"Correlation [NVF]: {float(correlation_nvf):.16f}")
+    print(f"Correlation [ME]: {float(correlation_me):.16f}")
+
+    if settings.save_watermarked_files_to_disk:
+        print("\nSaving watermarked files to disk...")
+        save_image_u8(add_suffix_before_extension(settings.image, "_W_NVF"),
+                      np.asarray(watermark_nvf))
+        save_image_u8(add_suffix_before_extension(settings.image, "_W_ME"),
+                      np.asarray(watermark_me))
+        print("Successfully saved to disk")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    settings_path = argv[0] if argv else "settings.ini"
+    try:
+        settings = load_settings(settings_path)
+    except FileNotFoundError:
+        print(f"Could not load {settings_path} file")
+        return 1
+
+    _select_device(settings.device)
+
+    if settings.p != 3 and not settings.is_video_mode:
+        # NVF supports p in {3,5,7,9}; ME (always benchmarked) requires 3,
+        # like the reference guard (main.cpp:88-89)
+        if settings.p not in (3, 5, 7, 9):
+            print("p parameter must be one of 3, 5, 7, 9")
+            return 1
+    if settings.p != 3:
+        print("For now, only p=3 is allowed")
+        return 1
+    if settings.psnr <= 0:
+        print("PSNR must be a positive number")
+        return 1
+
+    try:
+        if settings.is_video_mode:
+            from ..video.pipeline import test_for_video
+            return test_for_video(settings)
+        return test_for_image(settings)
+    except Exception as exc:  # mirror the reference's catch-all (main.cpp:132)
+        print(exc)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""settings.ini configuration, schema-compatible with the reference.
+
+The reference is driven entirely by a ``settings.ini`` parsed with inih
+(``/root/reference/Watermark_GPU/main.cpp:65-66`` and per-key defaults at the
+call sites). Sections and keys (``settings.ini:1-25``):
+
+    [paths]            image, watermark, video
+    [options]          opencl_device, save_watermarked_files_to_disk,
+                       execution_time_in_fps
+    [parameters]       p, psnr, loops_for_test
+    [parameters_video] watermark_interval, encode_watermark_file_path,
+                       encode_options, watermark_detection
+
+Presence of a non-empty ``video`` path selects video mode (``main.cpp:126-129``).
+``opencl_device`` maps to the JAX device index here.
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Settings:
+    # [paths]
+    image: str = "NO_IMAGE"
+    watermark: str = ""
+    video: str = ""
+    # [options]
+    device: int = 0
+    save_watermarked_files_to_disk: bool = False
+    execution_time_in_fps: bool = False
+    # [parameters]
+    p: int = -1
+    psnr: float = -1.0
+    loops_for_test: int = 5
+    # [parameters_video]
+    watermark_interval: int = 30
+    encode_watermark_file_path: str = ""
+    encode_options: str = "-c:v libx265 -preset fast -crf 23"
+    watermark_detection: bool = False
+    # provenance
+    source_path: str = field(default="", compare=False)
+
+    @property
+    def is_video_mode(self) -> bool:
+        return self.video != ""
+
+
+def _get(parser: configparser.ConfigParser, section: str, key: str, default):
+    if not parser.has_option(section, key):
+        return default
+    raw = parser.get(section, key).strip()
+    if raw == "":
+        return default
+    if isinstance(default, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(default, int):
+        try:
+            return int(raw)
+        except ValueError:
+            return default
+    if isinstance(default, float):
+        try:
+            return float(raw)
+        except ValueError:
+            return default
+    return raw
+
+
+def load_settings(path: str | os.PathLike = "settings.ini") -> Settings:
+    """Parse a reference-schema settings.ini into a Settings object."""
+    parser = configparser.ConfigParser(inline_comment_prefixes=(";", "#"))
+    read = parser.read(path)
+    if not read:
+        raise FileNotFoundError(f"Could not load {path} file")
+    s = Settings(source_path=str(path))
+    s.image = _get(parser, "paths", "image", s.image)
+    s.watermark = _get(parser, "paths", "watermark", s.watermark)
+    s.video = _get(parser, "paths", "video", s.video)
+    s.device = _get(parser, "options", "opencl_device", s.device)
+    s.save_watermarked_files_to_disk = _get(
+        parser, "options", "save_watermarked_files_to_disk",
+        s.save_watermarked_files_to_disk)
+    s.execution_time_in_fps = _get(
+        parser, "options", "execution_time_in_fps", s.execution_time_in_fps)
+    s.p = _get(parser, "parameters", "p", s.p)
+    s.psnr = _get(parser, "parameters", "psnr", s.psnr)
+    s.loops_for_test = _get(parser, "parameters", "loops_for_test",
+                            s.loops_for_test)
+    s.watermark_interval = _get(parser, "parameters_video",
+                                "watermark_interval", s.watermark_interval)
+    s.encode_watermark_file_path = _get(
+        parser, "parameters_video", "encode_watermark_file_path",
+        s.encode_watermark_file_path)
+    s.encode_options = _get(parser, "parameters_video", "encode_options",
+                            s.encode_options)
+    s.watermark_detection = _get(parser, "parameters_video",
+                                 "watermark_detection", s.watermark_detection)
+    return s

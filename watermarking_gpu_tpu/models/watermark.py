@@ -1,0 +1,145 @@
+"""The flagship watermarking engine.
+
+TPU-native re-design of the reference ``Watermark`` class
+(``/root/reference/Watermark_GPU/Watermark.hpp:26-72``): same public contract
+(constructor with dims/watermark-path/p/psnr, ``embed`` == ``makeWatermark``,
+``detect`` == ``detectWatermark``, ``reinitialize``) but a functional core —
+each (shape, mask type) gets one jit-compiled XLA program, the watermark
+matrix lives in HBM once, and there is no per-call host round trip beyond the
+scalar results.
+
+Recompilation discipline: one jit cache entry per image shape, mirroring the
+reference's per-shape pre-allocated state and ``reinitialize`` contract
+(``Watermark.cpp:78-85``).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.matfile import generate_watermark, load_watermark
+from ..ops.embed import strength_factor
+from ..ops.pipelines import detect_pipeline, embed_pipeline
+from .masks import MaskType
+
+_VALID_P = (3, 5, 7, 9)
+
+
+def default_impl() -> str:
+    """Pick the compute implementation for the current default backend."""
+    if jax.default_backend() == "tpu":
+        try:  # fused TPU kernels, if built
+            from ..ops.pallas import me_kernel  # noqa: F401
+            return "pallas"
+        except ImportError:
+            return "xla"
+    return "xla"
+
+
+class Watermark:
+    """Embeds and detects additive spread-spectrum watermarks on TPU.
+
+    Parameters mirror the reference constructor (``Watermark.cpp:21-27``):
+
+    rows, cols : image dimensions this engine is specialized for.
+    watermark  : path to a raw float32 ``.dat`` file, a numpy/JAX array of
+                 shape (rows, cols), or an integer seed to generate one.
+    p          : mask window size (3, 5, 7 or 9). The prediction-error mask
+                 supports p=3 (like the reference, ``main.cpp:88-89``).
+    psnr       : target embedding PSNR in dB (> 0).
+    impl       : 'xla', 'pallas', or None for backend-based auto selection.
+    """
+
+    def __init__(self, rows: int, cols: int,
+                 watermark: "str | os.PathLike | np.ndarray | int",
+                 p: int = 3, psnr: float = 40.0,
+                 impl: str | None = None):
+        if p not in _VALID_P:
+            raise ValueError(f"Wrong p parameter: {p}!")
+        if psnr <= 0:
+            raise ValueError("PSNR must be a positive number")
+        self.p = p
+        self.psnr = float(psnr)
+        self.strength_factor = strength_factor(self.psnr)
+        self.impl = impl if impl is not None else default_impl()
+        self._fn_cache: dict = {}
+        self.reinitialize(watermark, rows, cols)
+
+    # -- state ------------------------------------------------------------
+
+    def reinitialize(self, watermark, rows: int, cols: int) -> None:
+        """Re-point the engine at a new image size / watermark matrix."""
+        self.rows = int(rows)
+        self.cols = int(cols)
+        self.random_matrix = jax.device_put(
+            self._resolve_watermark(watermark).astype(np.float32))
+
+    def _resolve_watermark(self, watermark) -> np.ndarray:
+        if isinstance(watermark, (str, os.PathLike)):
+            return load_watermark(watermark, self.rows, self.cols)
+        if isinstance(watermark, (int, np.integer)):
+            return generate_watermark(self.rows, self.cols, int(watermark))
+        arr = np.asarray(watermark)
+        if arr.shape != (self.rows, self.cols):
+            raise ValueError(
+                f"Watermark shape {arr.shape} != image dims "
+                f"({self.rows}, {self.cols})")
+        return arr
+
+    # -- compiled pipelines ------------------------------------------------
+
+    def _embed_fn(self, mask_type: MaskType):
+        key = ("embed", mask_type, self.impl)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(partial(embed_pipeline, mask_type=mask_type.value,
+                                 p=self.p, impl=self.impl),
+                         static_argnames=("strength_factor_value",))
+            self._fn_cache[key] = fn
+        return fn
+
+    def _detect_fn(self, mask_type: MaskType):
+        key = ("detect", mask_type, self.impl)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(partial(detect_pipeline, mask_type=mask_type.value,
+                                 p=self.p, impl=self.impl))
+            self._fn_cache[key] = fn
+        return fn
+
+    # -- public API ---------------------------------------------------------
+
+    def embed(self, image, output=None,
+              mask_type: "MaskType | str" = MaskType.ME):
+        """Embed the watermark computed from grayscale `image` into `output`.
+
+        `output` defaults to `image` (the grayscale video path). Returns
+        (watermarked array, strength scalar). Results are device arrays; the
+        strength is a 0-d array (call float() to sync).
+        """
+        mask_type = MaskType.parse(mask_type)
+        self._check_dims(image)
+        image = jnp.asarray(image, dtype=jnp.float32)
+        output = image if output is None else jnp.asarray(output,
+                                                          dtype=jnp.float32)
+        return self._embed_fn(mask_type)(
+            image, output, self.random_matrix,
+            strength_factor_value=self.strength_factor)
+
+    def detect(self, image, mask_type: "MaskType | str" = MaskType.ME):
+        """Detector correlation of a grayscale image (0-d device array)."""
+        mask_type = MaskType.parse(mask_type)
+        self._check_dims(image)
+        image = jnp.asarray(image, dtype=jnp.float32)
+        return self._detect_fn(mask_type)(image, self.random_matrix)
+
+    def _check_dims(self, image) -> None:
+        if image.shape[:2] != (self.rows, self.cols):
+            raise ValueError(
+                f"Image shape {image.shape[:2]} does not match engine dims "
+                f"({self.rows}, {self.cols}); call reinitialize().")

@@ -1,0 +1,81 @@
+"""Prediction-Error (ME) mask: normal equations, solve, prediction, mask.
+
+Reference behavior:
+
+* The ``me`` kernel accumulates, over every pixel, the 8-neighbor outer
+  products ``Rx = sum_p n(p) n(p)^T`` (8x8 symmetric) and the neighbor-center
+  correlations ``rx = sum_p n(p) * center(p)``
+  (``/root/reference/Watermark_GPU/kernels/me_p3.hpp:8-21,59-82``), staged in
+  fp16 workgroup memory. The host reduces the partials and solves
+  ``Rx a = rx`` with ``af::solve``
+  (``/root/reference/Watermark_GPU/Watermark.cpp:140-151,200-207``).
+* Prediction: ``x_hat = sum_k a_k * neighbor_k`` (``scaled_neighbors_p3.hpp:35-42``).
+* Error sequence: ``e = image - x_hat`` (``Watermark.cpp:210``); the mask is
+  ``|e| / max|e|`` (``Watermark.cpp:211-215``).
+* An unsolvable system makes ``af::solve`` throw; the reference then skips
+  embedding / reports correlation 0 (``Watermark.cpp:202-207,164-165,246-247``).
+  Here singularity surfaces as non-finite solve output, reduced to a ``valid``
+  scalar that downstream code applies with ``jnp.where``.
+
+TPU-first notes: the Rx/rx accumulation is expressed as an ``(8, N) @ (N, 8)``
+matmul so it lands on the MXU, and everything accumulates in f32 (strictly
+more precise than the reference's fp16 staging, see BASELINE.md). The fused
+single-pass Pallas version lives in ``ops/pallas/me_kernel.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .neighbors import NUM_NEIGHBORS, neighbor_stack
+
+# The normal-equation accumulation must not be demoted to bf16 inputs (the
+# default matmul precision does that on both XLA:CPU and the TPU MXU); full
+# f32 costs nothing at this 8xN shape and keeps the 1e-4 parity budget.
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def me_normal_equations(image: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulate Rx (8x8) and rx (8,) over all pixels of a 2D image."""
+    neighbors = neighbor_stack(image).reshape(NUM_NEIGHBORS, -1)
+    center = image.reshape(-1)
+    rx_matrix = jnp.matmul(neighbors, neighbors.T, precision=_HIGHEST,
+                           preferred_element_type=jnp.float32)
+    rx_vector = jnp.matmul(neighbors, center, precision=_HIGHEST,
+                           preferred_element_type=jnp.float32)
+    return rx_matrix, rx_vector
+
+
+def solve_coefficients(rx_matrix: jnp.ndarray,
+                       rx_vector: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve Rx a = rx. Returns (coefficients, valid scalar bool).
+
+    ``valid`` is False when the system is singular (non-finite solution),
+    mirroring the reference's solve-failure soft path.
+    """
+    coefficients = jnp.linalg.solve(rx_matrix, rx_vector)
+    valid = jnp.all(jnp.isfinite(coefficients))
+    # Keep downstream math finite even when invalid; callers gate on `valid`.
+    coefficients = jnp.where(valid, coefficients, jnp.zeros_like(coefficients))
+    return coefficients, valid
+
+
+def predict(image: jnp.ndarray, coefficients: jnp.ndarray) -> jnp.ndarray:
+    """8-tap linear prediction of each pixel from its clamped neighbors."""
+    neighbors = neighbor_stack(image)
+    return jnp.einsum("k,khw->hw", coefficients, neighbors,
+                      precision=_HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
+def prediction_error(image: jnp.ndarray,
+                     coefficients: jnp.ndarray) -> jnp.ndarray:
+    """Error sequence e = image - prediction(image)."""
+    return image - predict(image, coefficients)
+
+
+def me_mask_from_error(error: jnp.ndarray) -> jnp.ndarray:
+    """Normalized |error| mask: |e| / max|e| (Watermark.cpp:211-215)."""
+    abs_error = jnp.abs(error)
+    return abs_error / jnp.max(abs_error)
