@@ -1,0 +1,124 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: DP and SP paths must
+reproduce the single-device pipeline numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from watermarking_gpu_tpu.models.batched import batch_detect, batch_embed
+from watermarking_gpu_tpu.ops import strength_factor
+from watermarking_gpu_tpu.ops.pipelines import detect_pipeline, embed_pipeline
+from watermarking_gpu_tpu.parallel import (make_dp_detect, make_dp_embed,
+                                           make_mesh, make_spatial_detect,
+                                           make_spatial_embed, replicate,
+                                           shard_frames, shard_rows)
+
+SF = strength_factor(40.0)
+
+
+@pytest.fixture(scope="module")
+def frames(rng):
+    return np.clip(
+        rng.normal(128.0, 40.0, size=(8, 32, 64)), 0, 255).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def watermark32(rng):
+    return rng.normal(size=(32, 64)).astype(np.float32)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_detect_matches_single(frames, watermark32):
+    mesh = make_mesh(data=8)
+    ref = batch_detect(jnp.asarray(frames), jnp.asarray(watermark32), "me")
+    fn = make_dp_detect(mesh, "me")
+    got = fn(shard_frames(mesh, jnp.asarray(frames)),
+             replicate(mesh, jnp.asarray(watermark32)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_dp_embed_matches_single(frames, watermark32):
+    mesh = make_mesh(data=8)
+    ref_out, ref_s = batch_embed(jnp.asarray(frames), jnp.asarray(frames),
+                                 jnp.asarray(watermark32), SF, "nvf")
+    fn = make_dp_embed(mesh, "nvf", SF)
+    sharded = shard_frames(mesh, jnp.asarray(frames))
+    got_out, got_s = fn(sharded, sharded,
+                        replicate(mesh, jnp.asarray(watermark32)))
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-5)
+
+
+@pytest.mark.parametrize("mask_type", ["me", "nvf"])
+def test_spatial_detect_matches_single(frames, watermark32, mask_type):
+    mesh = make_mesh(data=1, space=8)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref = detect_pipeline(img, wm, mask_type)
+    fn = make_spatial_detect(mesh, mask_type)
+    got = fn(shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("mask_type", ["me", "nvf"])
+def test_spatial_embed_matches_single(frames, watermark32, mask_type):
+    mesh = make_mesh(data=1, space=8)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref_out, ref_s = embed_pipeline(img, img, wm, SF, mask_type)
+    fn = make_spatial_embed(mesh, mask_type, SF, *img.shape)
+    img_sh = shard_rows(mesh, img)
+    got_out, got_s = fn(img_sh, img_sh, shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got_s), float(ref_s), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=2e-3)
+
+
+def test_spatial_nvf_p5_halo(frames, watermark32):
+    """halo > 1 exercises multi-row ppermute exchange."""
+    mesh = make_mesh(data=1, space=4)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref = detect_pipeline(img, wm, "nvf", p=5)
+    fn = make_spatial_detect(mesh, "nvf", p=5)
+    got = fn(shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref), atol=2e-4)
+
+
+def test_batched_matches_per_frame(frames, watermark32):
+    """vmap batching reproduces per-frame results."""
+    wm = jnp.asarray(watermark32)
+    batched = batch_detect(jnp.asarray(frames), wm, "me")
+    singles = [float(detect_pipeline(jnp.asarray(f), wm, "me"))
+               for f in frames]
+    np.testing.assert_allclose(np.asarray(batched), singles, atol=1e-5)
+
+
+def test_hybrid_dp_sp_matches_single(frames, watermark32):
+    """2x4 mesh: frames over data, rows over space."""
+    from watermarking_gpu_tpu.parallel import (make_hybrid_detect,
+                                               make_hybrid_embed,
+                                               shard_hybrid, shard_watermark)
+    mesh = make_mesh(data=2, space=4)
+    wm = jnp.asarray(watermark32)
+    ref = batch_detect(jnp.asarray(frames), wm, "me")
+    fn = make_hybrid_detect(mesh, "me")
+    got = fn(shard_hybrid(mesh, jnp.asarray(frames)),
+             shard_watermark(mesh, wm))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    ref_out, ref_s = batch_embed(jnp.asarray(frames), jnp.asarray(frames),
+                                 wm, SF, "me")
+    embed_fn = make_hybrid_embed(mesh, "me", SF, 32, 64)
+    sharded = shard_hybrid(mesh, jnp.asarray(frames))
+    got_out, got_s = embed_fn(sharded, sharded, shard_watermark(mesh, wm))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=2e-3)

@@ -33,12 +33,21 @@ def pad_edge(image: jnp.ndarray, halo: int) -> jnp.ndarray:
     return jnp.pad(image, ((halo, halo), (halo, halo)), mode="edge")
 
 
-def neighbor_stack(image: jnp.ndarray) -> jnp.ndarray:
-    """Return the (8, H, W) stack of clamp-to-edge 3x3 neighbors of each pixel."""
-    rows, cols = image.shape
-    padded = pad_edge(image, 1)
+def neighbor_stack_from_padded(padded: jnp.ndarray, rows: int,
+                               cols: int) -> jnp.ndarray:
+    """(rows+2, cols+2) halo-extended strip -> (8, rows, cols) neighbor stack.
+
+    Used directly by the spatially-sharded path, where the row halo comes from
+    a ppermute exchange instead of local edge padding.
+    """
     return jnp.stack(
         [padded[1 + dr : 1 + dr + rows, 1 + dc : 1 + dc + cols]
          for dr, dc in NEIGHBOR_OFFSETS],
         axis=0,
     )
+
+
+def neighbor_stack(image: jnp.ndarray) -> jnp.ndarray:
+    """Return the (8, H, W) stack of clamp-to-edge 3x3 neighbors of each pixel."""
+    rows, cols = image.shape
+    return neighbor_stack_from_padded(pad_edge(image, 1), rows, cols)
