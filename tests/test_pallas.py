@@ -1,0 +1,102 @@
+"""Pallas strip kernels vs the jnp oracle ops (interpreter mode on CPU).
+
+Real-TPU parity and performance are exercised by bench.py and the driver's
+compile checks; here the same kernel code runs through the Pallas interpreter
+on small shapes, including non-8/128-aligned and batched cases.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from watermarking_gpu_tpu.ops import me, nvf
+from watermarking_gpu_tpu.ops.pallas.me_kernel import me_normal_equations_pallas
+from watermarking_gpu_tpu.ops.pallas.nvf_kernel import nvf_mask_pallas
+from watermarking_gpu_tpu.ops.pallas.predict_kernel import (
+    prediction_error_pallas)
+
+
+@pytest.fixture(scope="module")
+def image(rng):
+    return jnp.asarray(
+        np.clip(rng.normal(128, 40, (40, 96)), 0, 255).astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def odd_image(rng):
+    """Rows/cols not multiples of 8/128 exercise padding + masking."""
+    return jnp.asarray(
+        np.clip(rng.normal(128, 40, (37, 83)), 0, 255).astype(np.float32))
+
+
+@pytest.mark.parametrize("p", [3, 5, 7, 9])
+def test_nvf_kernel_matches_oracle(image, p):
+    got = np.asarray(nvf_mask_pallas(image, p=p, strip=16))
+    want = np.asarray(nvf.nvf_mask(image, p=p))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_nvf_kernel_odd_shape(odd_image):
+    got = np.asarray(nvf_mask_pallas(odd_image, strip=16))
+    want = np.asarray(nvf.nvf_mask(odd_image))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_me_gram_matches_oracle(image):
+    rm, rv = me_normal_equations_pallas(image)
+    rm2, rv2 = me.me_normal_equations(image)
+    np.testing.assert_allclose(np.asarray(rm), np.asarray(rm2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(rv2), rtol=1e-4)
+
+
+def test_me_gram_odd_shape_masks_padding(odd_image):
+    rm, rv = me_normal_equations_pallas(odd_image)
+    rm2, rv2 = me.me_normal_equations(odd_image)
+    np.testing.assert_allclose(np.asarray(rm), np.asarray(rm2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(rv2), rtol=1e-4)
+
+
+def test_prediction_error_matches_oracle(image):
+    rm, rv = me.me_normal_equations(image)
+    coeffs, valid = me.solve_coefficients(rm, rv)
+    assert bool(valid)
+    got = np.asarray(prediction_error_pallas(image, coeffs))
+    want = np.asarray(me.prediction_error(image, coeffs))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_batched_kernels(image, rng):
+    batch = jnp.stack([image, image[::-1], image * 0.5 + 32.0])
+    rm_b, rv_b = me_normal_equations_pallas(batch)
+    assert rm_b.shape == (3, 8, 8) and rv_b.shape == (3, 8)
+    for i in range(3):
+        rm, rv = me.me_normal_equations(batch[i])
+        np.testing.assert_allclose(np.asarray(rm_b[i]), np.asarray(rm),
+                                   rtol=1e-4)
+    coeffs = jnp.asarray(rng.normal(0, 0.2, (3, 8)).astype(np.float32))
+    got = np.asarray(prediction_error_pallas(batch, coeffs))
+    for i in range(3):
+        want = np.asarray(me.prediction_error(batch[i], coeffs[i]))
+        np.testing.assert_allclose(got[i], want, atol=1e-3)
+    got_nvf = np.asarray(nvf_mask_pallas(batch, strip=16))
+    for i in range(3):
+        np.testing.assert_allclose(got_nvf[i],
+                                   np.asarray(nvf.nvf_mask(batch[i])),
+                                   atol=5e-3)
+
+
+def test_pallas_pipeline_matches_xla(image, rng):
+    from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
+                                                    embed_pipeline)
+    wm = jnp.asarray(rng.normal(size=image.shape).astype(np.float32))
+    for mask_type in ("me", "nvf"):
+        ref = float(detect_pipeline(image, wm, mask_type, impl="xla"))
+        got = float(detect_pipeline(image, wm, mask_type, impl="pallas"))
+        assert got == pytest.approx(ref, abs=1e-4)
+        ref_o, ref_s = embed_pipeline(image, image, wm, 2.55, mask_type,
+                                      impl="xla")
+        got_o, got_s = embed_pipeline(image, image, wm, 2.55, mask_type,
+                                      impl="pallas")
+        assert float(got_s) == pytest.approx(float(ref_s), rel=1e-4)
+        np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
+                                   atol=5e-2)

@@ -27,18 +27,21 @@ def batch_embed(images: jnp.ndarray, outputs: jnp.ndarray,
                 watermark: jnp.ndarray, strength_factor_value: float,
                 mask_type: str, p: int = 3,
                 impl: str = "xla") -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Embed into (B, H, W[, C]) frames. Watermark matrix is shared."""
-    fn = partial(embed_pipeline, mask_type=mask_type, p=p, impl=impl,
-                 strength_factor_value=strength_factor_value)
-    return jax.vmap(fn, in_axes=(0, 0, None))(images, outputs, watermark)
+    """Embed into (B, H, W[, C]) frames. Watermark matrix is shared.
+
+    The pipelines are natively batch-polymorphic (no vmap), so the Pallas
+    strip kernels see the whole batch as one grid.
+    """
+    return embed_pipeline(images, outputs, watermark, strength_factor_value,
+                          mask_type=mask_type, p=p, impl=impl)
 
 
 def batch_detect(images: jnp.ndarray, watermark: jnp.ndarray,
                  mask_type: str, p: int = 3,
                  impl: str = "xla") -> jnp.ndarray:
     """Detector correlations for (B, H, W) frames -> (B,) scalars."""
-    fn = partial(detect_pipeline, mask_type=mask_type, p=p, impl=impl)
-    return jax.vmap(fn, in_axes=(0, None))(images, watermark)
+    return detect_pipeline(images, watermark, mask_type=mask_type, p=p,
+                           impl=impl)
 
 
 class BatchedWatermark(Watermark):

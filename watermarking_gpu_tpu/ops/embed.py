@@ -9,6 +9,9 @@ Reference behavior (``/root/reference/Watermark_GPU/Watermark.cpp:156-172``):
 When ``output`` is RGB the grayscale ``u`` broadcasts over the channel axis
 (``Watermark.cpp:171`` relies on ArrayFire broadcasting).
 
+Batch-polymorphic: masks/watermarks (..., H, W); outputs (..., H, W) or
+(..., H, W, 3); strengths (...,).
+
 Note (documented invariance): ``u * strength = strengthFactor * sqrt(N) * u/||u||``
 is invariant to any positive rescaling of the mask, so the ME mask's
 ``1/max|e|`` normalization only affects the *reported* strength scalar, never
@@ -20,6 +23,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,12 +35,12 @@ def strength_factor(psnr: float) -> float:
 def embed_watermark(output: jnp.ndarray, mask: jnp.ndarray,
                     watermark: jnp.ndarray,
                     strength_factor_value: float) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Additive spread-spectrum embed. Returns (watermarked, strength scalar)."""
+    """Additive spread-spectrum embed. Returns (watermarked, strengths)."""
     u = mask * watermark
-    n = u.size
-    u_norm = jnp.linalg.norm(u.reshape(-1))
-    strength = strength_factor_value / (u_norm / math.sqrt(n))
-    addend = u * strength
-    if output.ndim == 3:
+    n = u.shape[-1] * u.shape[-2]
+    norm_sq = jnp.sum(u * u, axis=(-2, -1))
+    strength = strength_factor_value / jnp.sqrt(norm_sq / n)   # (...,)
+    addend = u * strength[..., None, None]
+    if output.ndim == mask.ndim + 1:  # (..., H, W, C) broadcast over channels
         addend = addend[..., None]
     return jnp.clip(output + addend, 0.0, 255.0), strength

@@ -15,12 +15,15 @@ Reference behavior:
 * An unsolvable system makes ``af::solve`` throw; the reference then skips
   embedding / reports correlation 0 (``Watermark.cpp:202-207,164-165,246-247``).
   Here singularity surfaces as non-finite solve output, reduced to a ``valid``
-  scalar that downstream code applies with ``jnp.where``.
+  scalar per image that downstream code applies with ``jnp.where``.
 
 TPU-first notes: the Rx/rx accumulation is expressed as an ``(8, N) @ (N, 8)``
-matmul so it lands on the MXU, and everything accumulates in f32 (strictly
-more precise than the reference's fp16 staging, see BASELINE.md). The fused
-single-pass Pallas version lives in ``ops/pallas/me_kernel.py``.
+contraction so it lands on the MXU, and everything accumulates in f32
+(strictly more precise than the reference's fp16 staging, see BASELINE.md).
+The fused single-pass Pallas version lives in ``ops/pallas/me_kernel.py``.
+
+All functions are batch-polymorphic over leading dims: images (..., H, W),
+coefficients (..., 8), Rx (..., 8, 8), rx (..., 8).
 """
 
 from __future__ import annotations
@@ -37,34 +40,40 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def me_normal_equations(image: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Accumulate Rx (8x8) and rx (8,) over all pixels of a 2D image."""
-    neighbors = neighbor_stack(image).reshape(NUM_NEIGHBORS, -1)
-    center = image.reshape(-1)
-    rx_matrix = jnp.matmul(neighbors, neighbors.T, precision=_HIGHEST,
+    """Accumulate Rx (..., 8, 8) and rx (..., 8) over all pixels."""
+    neighbors = neighbor_stack(image)
+    flat = neighbors.reshape(*neighbors.shape[:-2], -1)     # (..., 8, N)
+    center = image.reshape(*image.shape[:-2], -1)           # (..., N)
+    rx_matrix = jnp.einsum("...kn,...ln->...kl", flat, flat,
+                           precision=_HIGHEST,
                            preferred_element_type=jnp.float32)
-    rx_vector = jnp.matmul(neighbors, center, precision=_HIGHEST,
+    rx_vector = jnp.einsum("...kn,...n->...k", flat, center,
+                           precision=_HIGHEST,
                            preferred_element_type=jnp.float32)
     return rx_matrix, rx_vector
 
 
 def solve_coefficients(rx_matrix: jnp.ndarray,
                        rx_vector: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Solve Rx a = rx. Returns (coefficients, valid scalar bool).
+    """Solve Rx a = rx (batched). Returns (coefficients, valid bools).
 
-    ``valid`` is False when the system is singular (non-finite solution),
-    mirroring the reference's solve-failure soft path.
+    ``valid`` is False where the system is singular (non-finite solution),
+    mirroring the reference's solve-failure soft path. Shapes: coefficients
+    (..., 8), valid (...,).
     """
-    coefficients = jnp.linalg.solve(rx_matrix, rx_vector)
-    valid = jnp.all(jnp.isfinite(coefficients))
+    # explicit column vector: a 2D rhs would be read as a matrix, not a batch
+    coefficients = jnp.linalg.solve(rx_matrix, rx_vector[..., None])[..., 0]
+    valid = jnp.all(jnp.isfinite(coefficients), axis=-1)
     # Keep downstream math finite even when invalid; callers gate on `valid`.
-    coefficients = jnp.where(valid, coefficients, jnp.zeros_like(coefficients))
+    coefficients = jnp.where(valid[..., None], coefficients,
+                             jnp.zeros_like(coefficients))
     return coefficients, valid
 
 
 def predict(image: jnp.ndarray, coefficients: jnp.ndarray) -> jnp.ndarray:
     """8-tap linear prediction of each pixel from its clamped neighbors."""
     neighbors = neighbor_stack(image)
-    return jnp.einsum("k,khw->hw", coefficients, neighbors,
+    return jnp.einsum("...k,...khw->...hw", coefficients, neighbors,
                       precision=_HIGHEST,
                       preferred_element_type=jnp.float32)
 
@@ -76,6 +85,7 @@ def prediction_error(image: jnp.ndarray,
 
 
 def me_mask_from_error(error: jnp.ndarray) -> jnp.ndarray:
-    """Normalized |error| mask: |e| / max|e| (Watermark.cpp:211-215)."""
+    """Normalized |error| mask: |e| / max|e| per image (Watermark.cpp:211-215)."""
     abs_error = jnp.abs(error)
-    return abs_error / jnp.max(abs_error)
+    peak = jnp.max(abs_error, axis=(-2, -1), keepdims=True)
+    return abs_error / peak

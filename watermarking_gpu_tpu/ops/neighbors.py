@@ -11,6 +11,9 @@ Neighbor ordering is the row-major scan of the 3x3 window excluding the center
 matching the coefficient order consumed by the reference prediction kernel
 (``scaled_neighbors_p3.hpp:35-42``) and produced by the ``me`` kernel
 (``me_p3.hpp:46-54``).
+
+All ops here are batch-polymorphic: images are (..., H, W) with any number of
+leading batch dimensions.
 """
 
 from __future__ import annotations
@@ -29,25 +32,26 @@ NUM_NEIGHBORS = len(NEIGHBOR_OFFSETS)  # p*p - 1 with p=3
 
 
 def pad_edge(image: jnp.ndarray, halo: int) -> jnp.ndarray:
-    """Replicate-pad a 2D image by `halo` pixels on every side."""
-    return jnp.pad(image, ((halo, halo), (halo, halo)), mode="edge")
+    """Replicate-pad the last two dims of (..., H, W) by `halo` pixels."""
+    widths = [(0, 0)] * (image.ndim - 2) + [(halo, halo), (halo, halo)]
+    return jnp.pad(image, widths, mode="edge")
 
 
 def neighbor_stack_from_padded(padded: jnp.ndarray, rows: int,
                                cols: int) -> jnp.ndarray:
-    """(rows+2, cols+2) halo-extended strip -> (8, rows, cols) neighbor stack.
+    """(..., rows+2, cols+2) halo-extended -> (..., 8, rows, cols) neighbors.
 
-    Used directly by the spatially-sharded path, where the row halo comes from
-    a ppermute exchange instead of local edge padding.
+    Used directly by the spatially-sharded path, where the row halo comes
+    from a ppermute exchange instead of local edge padding.
     """
     return jnp.stack(
-        [padded[1 + dr : 1 + dr + rows, 1 + dc : 1 + dc + cols]
+        [padded[..., 1 + dr : 1 + dr + rows, 1 + dc : 1 + dc + cols]
          for dr, dc in NEIGHBOR_OFFSETS],
-        axis=0,
+        axis=-3,
     )
 
 
 def neighbor_stack(image: jnp.ndarray) -> jnp.ndarray:
-    """Return the (8, H, W) stack of clamp-to-edge 3x3 neighbors of each pixel."""
-    rows, cols = image.shape
+    """(..., H, W) -> (..., 8, H, W) clamp-to-edge 3x3 neighbor stack."""
+    rows, cols = image.shape[-2:]
     return neighbor_stack_from_padded(pad_edge(image, 1), rows, cols)

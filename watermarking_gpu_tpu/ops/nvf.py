@@ -7,9 +7,9 @@ for each pixel, over a p x p clamp-to-edge window compute
     variance = sumSq / p^2 - mean^2
     mask     = variance / (1 + variance)
 
-This module is the pure-XLA implementation (oracle + fallback). The fused
-Pallas kernel lives in ``watermarking_gpu_tpu.ops.pallas.nvf_kernel`` and is
-selected automatically by ``watermarking_gpu_tpu.ops.dispatch``.
+This module is the pure-XLA implementation (oracle + fallback), batch-
+polymorphic over leading dims. The fused Pallas kernel lives in
+``watermarking_gpu_tpu.ops.pallas.nvf_kernel``.
 """
 
 from __future__ import annotations
@@ -25,8 +25,8 @@ def nvf_mask(image: jnp.ndarray, p: int = 3) -> jnp.ndarray:
     pad = p // 2
     p2 = float(p * p)
     padded = pad_edge(image, pad)
-    window = (p, p)
-    strides = (1, 1)
+    window = (1,) * (image.ndim - 2) + (p, p)
+    strides = (1,) * image.ndim
     total = jax.lax.reduce_window(
         padded, 0.0, jax.lax.add, window_dimensions=window,
         window_strides=strides, padding="VALID")

@@ -1,0 +1,297 @@
+"""Fully-fused detect-tail and embed kernels.
+
+These collapse everything after the Rx/rx solve into one pass over the image:
+
+* ``fused_detect_tail``: per strip, compute the error sequence e_z on a
+  halo-extended region, form u = |e_z| * W (ME) or u = nvf(img) * W (NVF),
+  clamp-fix u's border ring, compute e_u = u - predict(u), and accumulate the
+  three correlation reductions (dot, ||e_u||^2, ||e_z||^2). The reference
+  needs four kernel launches plus five ArrayFire ops for this
+  (``/root/reference/Watermark_GPU/Watermark.cpp:234-250``); here it is one
+  strip-pipelined pass reading img and W once each.
+
+* ``fused_embed_field``: per strip, compute the unnormalized watermark field
+  u_raw = mask_unnormalized * W and accumulate sum(u_raw^2) and max|e| — all
+  the embedder then needs is one tiny AXPY+clamp pass
+  (``embed_from_field``).
+
+Numerical notes:
+
+- The ME mask's 1/max|e| normalization cancels exactly in both the detector
+  correlation and the embedded pixels (u * strength = sf * sqrt(N) * u/||u||),
+  so the fused path skips dividing the field by the max and only tracks the
+  max for the *reported* strength scalar. See ops/embed.py.
+- Border semantics: the reference computes e_u by re-uploading u to the
+  clamp-to-edge texture (``Watermark.cpp:221-225``), so u's out-of-image
+  neighbors are u's own edge values — NOT values computed from edge-replicated
+  image rows. The kernel rebuilds that ring explicitly (global-row wheres for
+  the top/bottom strips, column concat for left/right).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..neighbors import NEIGHBOR_OFFSETS
+from .common import interpret_mode, pad_image, pick_strip_for_width
+
+# accumulator slots in the (1, 128) per-image reduction row
+SLOT_DOT = 0      # sum e_u * e_z
+SLOT_NORM_U = 1   # sum e_u^2
+SLOT_NORM_Z = 2   # sum e_z^2
+SLOT_SUM_U2 = 0   # embed: sum u_raw^2
+SLOT_MAX_E = 1    # embed: max |error| (reported-strength only)
+
+
+def _error_region(ext, coeffs, base, span, width, pad):
+    """e = center - sum_k c_k * neighbor_k over a (span, width) region whose
+    top-left sits at (base, base) inside the (.., pad, ..)-padded strip."""
+    acc = ext[base : base + span, base : base + width]
+    for k, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
+        acc = acc - coeffs[k] * ext[base + dr : base + dr + span,
+                                    base + dc : base + dc + width]
+    return acc
+
+
+def _nvf_region(ext, base, span, width, p):
+    """NVF mask over a (span, width) region at offset (base, base)."""
+    half = p // 2
+    inv_p2 = 1.0 / float(p * p)
+    rows_span = span + 2 * half
+    col_sum = jnp.zeros((rows_span, width), jnp.float32)
+    col_sq = jnp.zeros((rows_span, width), jnp.float32)
+    r0 = base - half
+    for dc in range(-half, half + 1):
+        sl = ext[r0 : r0 + rows_span, base + dc : base + dc + width]
+        col_sum = col_sum + sl
+        col_sq = col_sq + sl * sl
+    total = jnp.zeros((span, width), jnp.float32)
+    total_sq = jnp.zeros((span, width), jnp.float32)
+    for dr in range(p):
+        total = total + col_sum[dr : dr + span]
+        total_sq = total_sq + col_sq[dr : dr + span]
+    mean = total * inv_p2
+    variance = total_sq * inv_p2 - mean * mean
+    return variance / (1.0 + variance)
+
+
+def _clamp_fix_ring(u_ext, strip_index, strip, rows):
+    """Rebuild u's border ring with clamp-to-edge of u itself.
+
+    u_ext is (strip+2, width+2): row 0 / col 0 are the -1 halo, the last
+    row/col the +1 halo. Rows use global indices (only the first/last strips
+    touch the image border); columns are static.
+    """
+    span = u_ext.shape[0]
+    width_ext = u_ext.shape[1]
+    base_row = strip_index * strip - 1
+    g = base_row + jax.lax.broadcasted_iota(jnp.int32, (span, width_ext), 0)
+    shifted_down = jnp.concatenate([u_ext[1:], u_ext[-1:]], axis=0)
+    shifted_up = jnp.concatenate([u_ext[:1], u_ext[:-1]], axis=0)
+    u = jnp.where(g < 0, shifted_down, u_ext)          # top ring := row 0
+    u = jnp.where(g > rows - 1, shifted_up, u)         # bottom ring := row H-1
+    # columns: position 0 represents col -1, position width_ext-1 col W
+    left = u[:, 1:2]
+    right = u[:, width_ext - 2 : width_ext - 1]
+    return jnp.concatenate([left, u[:, 1 : width_ext - 1], right], axis=1)
+
+
+def _acc_row(values: dict[int, jnp.ndarray]) -> jnp.ndarray:
+    """Scatter scalars into a (1, 128) row via iota one-hots."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    row = jnp.zeros((1, 128), jnp.float32)
+    for slot, val in values.items():
+        row = row + jnp.where(col == slot, val, 0.0)
+    return row
+
+
+def _detect_tail_kernel(coeffs_ref, img_ref, wm_ref, acc_ref, *, pad: int,
+                        strip: int, width: int, rows: int, mask_type: str,
+                        p: int):
+    ext = img_ref[0]
+    wm_ext = wm_ref
+    image_index = pl.program_id(0)
+    strip_index = pl.program_id(1)
+    coeffs = [coeffs_ref[image_index * 8 + k] for k in range(8)]
+
+    span = strip + 2   # e_z / u region including the +/-1 ring
+    wspan = width + 2
+    base = pad - 1
+    e_z_ext = _error_region(ext, coeffs, base, span, wspan, pad)
+    if mask_type == "me":
+        mask_ext = jnp.abs(e_z_ext)       # unnormalized: corr is invariant
+    else:
+        mask_ext = _nvf_region(ext, base, span, wspan, p)
+    u_ext = mask_ext * wm_ext[base : base + span, base : base + wspan]
+    u_ext = _clamp_fix_ring(u_ext, strip_index, strip, rows)
+
+    # e_u over the true center from u's own ring
+    e_u = u_ext[1 : 1 + strip, 1 : 1 + width]
+    for k, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
+        e_u = e_u - coeffs[k] * u_ext[1 + dr : 1 + dr + strip,
+                                      1 + dc : 1 + dc + width]
+    e_z = e_z_ext[1 : 1 + strip, 1 : 1 + width]
+
+    # mask off padded bottom rows of the final strip
+    g = (strip_index * strip
+         + jax.lax.broadcasted_iota(jnp.int32, (strip, width), 0))
+    valid = (g < rows).astype(jnp.float32)
+    e_u = e_u * valid
+    e_z_masked = e_z * valid
+
+    @pl.when(strip_index == 0)
+    def _():
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
+
+    acc_ref[0] += _acc_row({
+        SLOT_DOT: jnp.sum(e_u * e_z_masked),
+        SLOT_NORM_U: jnp.sum(e_u * e_u),
+        SLOT_NORM_Z: jnp.sum(e_z_masked * e_z_masked),
+    })
+
+
+@partial(jax.jit, static_argnames=("mask_type", "p"))
+def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
+                      coefficients: jnp.ndarray, mask_type: str = "me",
+                      p: int = 3) -> jnp.ndarray:
+    """Correlations for (B?, H, W) images given per-image coefficients.
+
+    Returns (B?,) correlations = dot / sqrt(nu * nz).
+    """
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+        coefficients = coefficients[None]
+    batch, rows, cols = image.shape
+    pad = 4 if (mask_type == "me" or 1 + p // 2 <= 4) else 8
+    strip, rows_padded = pick_strip_for_width(rows, cols, 160_000, pad)
+    img_p = pad_image(image, pad, rows_padded)
+    wm_p = pad_image(watermark, pad, rows_padded)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, rows_padded // strip),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(strip + 2 * pad),
+                 pl.Element(cols + 2 * pad)),
+                lambda b, i, c: (b, i * strip, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (pl.Element(strip + 2 * pad), pl.Element(cols + 2 * pad)),
+                lambda b, i, c: (i * strip, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda b, i, c: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    acc = pl.pallas_call(
+        partial(_detect_tail_kernel, pad=pad, strip=strip, width=cols,
+                rows=rows, mask_type=mask_type, p=p),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, 1, 128), jnp.float32),
+        interpret=interpret_mode(),
+    )(coefficients.reshape(-1), img_p, wm_p)
+
+    dot = acc[:, 0, SLOT_DOT]
+    norm_u = acc[:, 0, SLOT_NORM_U]
+    norm_z = acc[:, 0, SLOT_NORM_Z]
+    corr = dot / jnp.sqrt(norm_u * norm_z)
+    return corr[0] if squeeze else corr
+
+
+def _embed_field_kernel(coeffs_ref, img_ref, wm_ref, u_ref, acc_ref, *,
+                        pad: int, strip: int, width: int, rows: int,
+                        mask_type: str, p: int):
+    ext = img_ref[0]
+    image_index = pl.program_id(0)
+    strip_index = pl.program_id(1)
+
+    if mask_type == "me":
+        coeffs = [coeffs_ref[image_index * 8 + k] for k in range(8)]
+        err = _error_region(ext, coeffs, pad, strip, width, pad)
+        mask = jnp.abs(err)               # unnormalized (see module docstring)
+    else:
+        mask = _nvf_region(ext, pad, strip, width, p)
+        err = mask                        # max|e| slot unused for NVF
+    u_raw = mask * wm_ref[pad : pad + strip, pad : pad + width]
+
+    g = (strip_index * strip
+         + jax.lax.broadcasted_iota(jnp.int32, (strip, width), 0))
+    valid = (g < rows).astype(jnp.float32)
+    u_raw = u_raw * valid
+    u_ref[0] = u_raw
+
+    @pl.when(strip_index == 0)
+    def _():
+        acc_ref[0] = jnp.zeros_like(acc_ref[0])
+
+    # slot SUM_U2 accumulates by addition, slot MAX_E by maximum
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    current = acc_ref[0]
+    added = current + jnp.where(col == SLOT_SUM_U2,
+                                jnp.sum(u_raw * u_raw), 0.0)
+    maxed = jnp.maximum(current, jnp.max(jnp.abs(err) * valid))
+    acc_ref[0] = jnp.where(col == SLOT_MAX_E, maxed, added)
+
+
+@partial(jax.jit, static_argnames=("mask_type", "p"))
+def fused_embed_field(image: jnp.ndarray, watermark: jnp.ndarray,
+                      coefficients: jnp.ndarray, mask_type: str = "me",
+                      p: int = 3):
+    """Unnormalized watermark field + reductions for (B?, H, W) images.
+
+    Returns (u_raw (B?, H, W), sum_u2 (B?,), max_e (B?,)).
+    """
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+        coefficients = coefficients[None]
+    batch, rows, cols = image.shape
+    pad = 4 if (mask_type == "me" or p // 2 <= 4) else 8
+    strip, rows_padded = pick_strip_for_width(rows, cols, 200_000, pad)
+    img_p = pad_image(image, pad, rows_padded)
+    wm_p = pad_image(watermark, pad, rows_padded)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, rows_padded // strip),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(strip + 2 * pad),
+                 pl.Element(cols + 2 * pad)),
+                lambda b, i, c: (b, i * strip, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (pl.Element(strip + 2 * pad), pl.Element(cols + 2 * pad)),
+                lambda b, i, c: (i * strip, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, strip, cols), lambda b, i, c: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda b, i, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    u_raw, acc = pl.pallas_call(
+        partial(_embed_field_kernel, pad=pad, strip=strip, width=cols,
+                rows=rows, mask_type=mask_type, p=p),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, rows_padded, cols), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, 128), jnp.float32),
+        ),
+        interpret=interpret_mode(),
+    )(coefficients.reshape(-1), img_p, wm_p)
+    u_raw = u_raw[:, :rows]
+    sum_u2 = acc[:, 0, SLOT_SUM_U2]
+    max_e = acc[:, 0, SLOT_MAX_E]
+    if squeeze:
+        return u_raw[0], sum_u2[0], max_e[0]
+    return u_raw, sum_u2, max_e

@@ -1,0 +1,75 @@
+"""Fused 8-tap prediction-error Pallas kernel.
+
+err = center - sum_k coeffs[k] * neighbor_k in one pass over the image
+(the reference runs this as the ``scaled_neighbors_p3`` kernel plus an
+ArrayFire subtraction, ``/root/reference/Watermark_GPU/kernels/
+scaled_neighbors_p3.hpp:29-43`` and ``Watermark.cpp:210``; here the subtract
+and the stencil fuse into the same VMEM strip pass).
+
+Coefficients arrive via scalar prefetch (SMEM) so each strip's weighted
+accumulation uses scalar * vector VPU ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..neighbors import NEIGHBOR_OFFSETS
+from .common import interpret_mode, pad_image, pick_strip, pick_strip_for_width
+
+PAD = 4
+
+
+def _predict_error_kernel(coeffs_ref, pin, pout, *, pad: int, strip: int,
+                          width: int):
+    ext = pin[0]
+    image_index = pl.program_id(0)  # coeffs are per image, flattened (B*8,)
+    acc = ext[pad : pad + strip, pad : pad + width]  # center
+    for k, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
+        plane = ext[pad + dr : pad + dr + strip, pad + dc : pad + dc + width]
+        acc = acc - coeffs_ref[image_index * 8 + k] * plane
+    pout[0] = acc
+
+
+@partial(jax.jit, static_argnames=("strip",))
+def prediction_error_pallas(image: jnp.ndarray, coefficients: jnp.ndarray,
+                            strip: int | None = None) -> jnp.ndarray:
+    """(H, W) or (B, H, W) image + (8,) or (B, 8) coeffs -> error sequence."""
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+        coefficients = coefficients[None]
+    batch, rows, cols = image.shape
+    if strip is None:  # width-adaptive VMEM budget
+        strip, rows_padded = pick_strip_for_width(rows, cols, 240_000, PAD)
+    else:
+        strip, rows_padded = pick_strip(rows, strip)
+    padded = pad_image(image, PAD, rows_padded)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, rows_padded // strip),
+        in_specs=[pl.BlockSpec(
+            (pl.Element(1), pl.Element(strip + 2 * PAD),
+             pl.Element(cols + 2 * PAD)),
+            lambda b, i, coeffs: (b, i * strip, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, strip, cols),
+                               lambda b, i, coeffs: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        partial(_predict_error_kernel, pad=PAD, strip=strip, width=cols),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, rows_padded, cols),
+                                       jnp.float32),
+        interpret=interpret_mode(),
+    )(coefficients.reshape(-1), padded)
+    out = out[:, :rows]
+    return out[0] if squeeze else out

@@ -7,12 +7,14 @@ behavior of the reference engine
 * ``embed_pipeline``  == ``Watermark::makeWatermark``
 * ``detect_pipeline`` == ``Watermark::detectWatermark``
 
-Mask type is a static (trace-time) argument; the solve-failure soft path is a
-traced ``valid`` scalar applied with ``jnp.where`` so the functions stay fully
-jittable with no data-dependent Python control flow.
+Everything is batch-polymorphic: images (H, W) or (B, H, W), outputs
+optionally with a trailing channel axis, per-image solves/strengths/
+correlations. Mask type is a static (trace-time) argument; the solve-failure
+soft path is a traced per-image ``valid`` flag applied with ``jnp.where`` so
+the functions stay fully jittable with no data-dependent Python control flow.
 
 Implementation selection: ``impl='xla'`` uses the pure-jnp ops (oracle),
-``impl='pallas'`` uses the fused TPU kernels from ``ops.pallas``.
+``impl='pallas'`` uses the fused TPU strip kernels from ``ops.pallas``.
 """
 
 from __future__ import annotations
@@ -21,8 +23,8 @@ from typing import Literal
 
 import jax.numpy as jnp
 
-from .embed import embed_watermark
 from .correlation import correlation
+from .embed import embed_watermark
 from .me import (me_mask_from_error, me_normal_equations, prediction_error,
                  solve_coefficients)
 from .nvf import nvf_mask
@@ -56,25 +58,66 @@ def _nvf_mask(image: jnp.ndarray, p: int, impl: ImplName) -> jnp.ndarray:
     return nvf_mask(image, p=p)
 
 
+def _gate(value: jnp.ndarray, valid: jnp.ndarray,
+          fallback) -> jnp.ndarray:
+    """where(valid, value, fallback) with valid (...,) vs value (..., H, W...)."""
+    extra = value.ndim - valid.ndim
+    return jnp.where(valid.reshape(valid.shape + (1,) * extra), value,
+                     fallback)
+
+
+def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
+                          mask_type, p):
+    """Pallas fast path: gram+solve, one fused field pass, one AXPY pass.
+
+    The ME mask's 1/max normalization cancels in the embedded pixels (see
+    ops/embed.py), so the fused field is unnormalized and the max only feeds
+    the reported strength.
+    """
+    import math
+
+    from .pallas.fused import fused_embed_field
+
+    if mask_type == "me":
+        coefficients, valid = _analysis(image, "pallas")
+    else:
+        coefficients = jnp.zeros(image.shape[:-2] + (8,), jnp.float32)
+        valid = jnp.ones(image.shape[:-2], dtype=bool)
+    u_raw, sum_u2, max_e = fused_embed_field(image, watermark, coefficients,
+                                             mask_type=mask_type, p=p)
+    n = image.shape[-1] * image.shape[-2]
+    scale = strength_factor_value * math.sqrt(n) / jnp.sqrt(sum_u2)  # (...,)
+    strength = scale * max_e if mask_type == "me" else scale
+    addend = u_raw * scale[..., None, None]
+    if output.ndim == image.ndim + 1:
+        addend = addend[..., None]
+    watermarked = jnp.clip(output + addend, 0.0, 255.0)
+    watermarked = _gate(watermarked, valid, output)
+    return watermarked, jnp.where(valid, strength, 0.0)
+
+
 def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
                    watermark: jnp.ndarray, strength_factor_value: float,
                    mask_type: MaskTypeName, p: int = 3,
                    impl: ImplName = "xla") -> tuple[jnp.ndarray, jnp.ndarray]:
     """Embed into `output` the watermark computed from grayscale `image`.
 
-    Returns (watermarked, strength). On an unsolvable ME system the output is
-    returned unmodified and strength is 0 (Watermark.cpp:164-165).
+    Returns (watermarked, strengths). On an unsolvable ME system the output
+    is returned unmodified and strength is 0 (Watermark.cpp:164-165).
     """
+    if impl == "pallas":
+        return _embed_pipeline_fused(image, output, watermark,
+                                     strength_factor_value, mask_type, p)
     if mask_type == "me":
         coefficients, valid = _analysis(image, impl)
         error = _prediction_error(image, coefficients, impl)
         mask = me_mask_from_error(error)
     else:
         mask = _nvf_mask(image, p, impl)
-        valid = jnp.bool_(True)
+        valid = jnp.ones(image.shape[:-2], dtype=bool)
     watermarked, strength = embed_watermark(
         output, mask, watermark, strength_factor_value)
-    watermarked = jnp.where(valid, watermarked, output)
+    watermarked = _gate(watermarked, valid, output)
     strength = jnp.where(valid, strength, 0.0)
     return watermarked, strength
 
@@ -82,12 +125,20 @@ def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
 def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
                     mask_type: MaskTypeName, p: int = 3,
                     impl: ImplName = "xla") -> jnp.ndarray:
-    """Detector correlation for a (possibly watermarked) grayscale image.
+    """Detector correlations for (possibly watermarked) grayscale images.
 
     NVF detection still runs the prediction-error analysis for the
     coefficients and error sequence, with the NVF mask replacing the ME mask
-    (Watermark.cpp:238-241). Returns 0.0 when the system is unsolvable.
+    (Watermark.cpp:238-241). Returns 0.0 where the system is unsolvable.
     """
+    if impl == "pallas":
+        from .pallas.fused import fused_detect_tail
+
+        coefficients, valid = _analysis(image, impl)
+        corr = fused_detect_tail(image, watermark, coefficients,
+                                 mask_type=mask_type, p=p)
+        return jnp.where(valid, corr, 0.0)
+
     coefficients, valid = _analysis(image, impl)
     e_z = _prediction_error(image, coefficients, impl)
     if mask_type == "me":
