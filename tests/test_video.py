@@ -1,0 +1,107 @@
+"""Video pipeline tests on synthetic raw .yuv clips (CPU, no ffmpeg)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from watermarking_gpu_tpu.io.config import Settings
+from watermarking_gpu_tpu.io.matfile import save_watermark
+from watermarking_gpu_tpu.video import (FrameReader, FrameWriter,
+                                        detect_video, embed_video,
+                                        frame_bytes, native_available,
+                                        split_planes, synthesize)
+
+W, H = 128, 96
+N_FRAMES = 7
+INTERVAL = 3
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory, rng):
+    root = tmp_path_factory.mktemp("video")
+    path = root / "clip.yuv"
+    path.write_bytes(synthesize(W, H, N_FRAMES, seed=3))
+    wm_path = root / "w.dat"
+    save_watermark(wm_path, rng.normal(size=(H, W)).astype(np.float32))
+    return root, str(path), str(wm_path)
+
+
+def make_settings(root, clip_path, wm_path, **kw):
+    s = Settings(video=clip_path, watermark=wm_path, p=3, psnr=30.0,
+                 watermark_interval=INTERVAL,
+                 raw_video_size=f"{W}x{H}", raw_video_fps=25.0)
+    for k, v in kw.items():
+        setattr(s, k, v)
+    return s
+
+
+@pytest.mark.parametrize("force_python", [True, False])
+def test_frame_pump_roundtrip(tmp_path, force_python, rng):
+    if not force_python and not native_available():
+        pytest.skip("native pump not built")
+    fb = frame_bytes(32, 16)
+    frames = [rng.integers(0, 256, fb).astype(np.uint8) for _ in range(5)]
+    path = tmp_path / "pump.yuv"
+    with open(path, "wb") as f:
+        writer = FrameWriter(f.fileno(), fb, force_python=force_python)
+        for fr in frames:
+            writer.put(fr)
+        writer.close()
+    with open(path, "rb") as f:
+        reader = FrameReader(f.fileno(), fb, force_python=force_python)
+        for fr in frames:
+            got = reader.next()
+            np.testing.assert_array_equal(got, fr)
+        assert reader.next() is None
+        reader.close()
+
+
+def test_embed_then_detect_video(clip):
+    root, clip_path, wm_path = clip
+    out_path = str(root / "marked.yuv")
+    settings = make_settings(root, clip_path, wm_path,
+                             encode_watermark_file_path=out_path)
+    frames = embed_video(settings, out=io.StringIO())
+    assert frames == N_FRAMES
+    assert os.path.getsize(out_path) == N_FRAMES * frame_bytes(W, H)
+
+    # chroma must pass through untouched; unsampled lumas too
+    original = np.frombuffer(open(clip_path, "rb").read(), dtype=np.uint8)
+    marked = np.frombuffer(open(out_path, "rb").read(), dtype=np.uint8)
+    fb = frame_bytes(W, H)
+    for i in range(N_FRAMES):
+        orig_frame = original[i * fb:(i + 1) * fb]
+        marked_frame = marked[i * fb:(i + 1) * fb]
+        oy, ou, ov = split_planes(orig_frame, W, H)
+        my, mu, mv = split_planes(marked_frame, W, H)
+        np.testing.assert_array_equal(ou, mu)
+        np.testing.assert_array_equal(ov, mv)
+        if i % INTERVAL == 0:
+            assert np.abs(oy.astype(int) - my.astype(int)).max() > 0
+        else:
+            np.testing.assert_array_equal(oy, my)
+
+    # detection on the watermarked clip: sampled frames correlate strongly
+    det = make_settings(root, out_path, wm_path, detect_batch=2)
+    buf = io.StringIO()
+    n, results = detect_video(det, out=buf)
+    assert n == N_FRAMES
+    ids = [fid for fid, _ in results]
+    assert ids == [0, 3, 6]
+    marked_corrs = [c for _, c in results]
+    assert all(c > 0.4 for c in marked_corrs)
+    assert "Correlation for frame: 0:" in buf.getvalue()
+
+    # clean clip correlates near zero
+    det_clean = make_settings(root, clip_path, wm_path)
+    _, clean_results = detect_video(det_clean, out=io.StringIO())
+    assert all(abs(c) < 0.2 for _, c in clean_results)
+
+
+def test_missing_raw_size_errors(clip):
+    root, clip_path, wm_path = clip
+    s = make_settings(root, clip_path, wm_path, raw_video_size="")
+    with pytest.raises(RuntimeError, match="raw_video_size"):
+        detect_video(s, out=io.StringIO())

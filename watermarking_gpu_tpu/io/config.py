@@ -41,6 +41,12 @@ class Settings:
     encode_watermark_file_path: str = ""
     encode_options: str = "-c:v libx265 -preset fast -crf 23"
     watermark_detection: bool = False
+    # extensions beyond the reference schema (documented in README):
+    # raw .yuv input support for ffmpeg-less environments, and detection
+    # batching across sampled frames
+    raw_video_size: str = ""       # "WxH", required for .yuv inputs
+    raw_video_fps: float = 30.0
+    detect_batch: int = 8
     # provenance
     source_path: str = field(default="", compare=False)
 
@@ -99,4 +105,10 @@ def load_settings(path: str | os.PathLike = "settings.ini") -> Settings:
                             s.encode_options)
     s.watermark_detection = _get(parser, "parameters_video",
                                  "watermark_detection", s.watermark_detection)
+    s.raw_video_size = _get(parser, "parameters_video", "raw_video_size",
+                            s.raw_video_size)
+    s.raw_video_fps = _get(parser, "parameters_video", "raw_video_fps",
+                           s.raw_video_fps)
+    s.detect_batch = _get(parser, "parameters_video", "detect_batch",
+                          s.detect_batch)
     return s

@@ -1,0 +1,235 @@
+"""Video watermarking pipeline: interval-sampled luma embed / detect.
+
+Re-designs the reference's synchronous frame loop
+(``/root/reference/Watermark_GPU/main.cpp:245-410``) TPU-first:
+
+* decode and encode run in child processes (or raw ``.yuv`` files when no
+  ffmpeg binary exists), pumped by prefetching reader/writer threads
+  (``pump.py``, C++ when built);
+* embedding overlaps device compute with IO — a sampled frame's embed is
+  dispatched asynchronously and only collected when its result must be
+  written in stream order (up to ``watermark_interval`` frames later);
+* detection batches sampled lumas into one device dispatch per
+  ``detect_batch`` frames, amortizing dispatch/transfer costs (the analog
+  of the reference printing one correlation per sampled frame,
+  ``main.cpp:392-410``).
+
+Semantics match the reference: only every ``watermark_interval``-th frame is
+watermarked (ME mask, luma only), chroma always passes through unchanged,
+and watermarked luma is written back as truncated u8.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..io.config import Settings
+from ..models import MaskType, Watermark
+from ..models.batched import BatchedWatermark
+from ..utils.timing import execution_time
+from . import ffmpeg as ff
+from .pump import FrameReader, FrameWriter
+from .rawyuv import frame_bytes, split_planes
+
+
+class FrameSource:
+    """Uniform frame source over ffmpeg decode or a raw .yuv file."""
+
+    def __init__(self, settings: Settings):
+        path = settings.video
+        self._proc = None
+        self._file = None
+        if path.endswith(".yuv"):
+            if not settings.raw_video_size:
+                raise RuntimeError(
+                    "raw .yuv input requires raw_video_size = WxH in "
+                    "[parameters_video]")
+            w, h = settings.raw_video_size.lower().split("x")
+            self.width, self.height = int(w), int(h)
+            self.fps = settings.raw_video_fps
+            self._file = open(path, "rb")
+            fd = self._file.fileno()
+        else:
+            info = ff.probe(path)
+            self.width, self.height, self.fps = (info.width, info.height,
+                                                 info.fps)
+            self._proc = ff.open_decoder(path)
+            fd = self._proc.stdout.fileno()
+        self.reader = FrameReader(fd, frame_bytes(self.width, self.height))
+
+    def next(self):
+        return self.reader.next()
+
+    def close(self):
+        self.reader.close()
+        if self._proc is not None:
+            self._proc.stdout.close()
+            self._proc.wait()
+        if self._file is not None:
+            self._file.close()
+
+
+class FrameSink:
+    """Uniform frame sink over an ffmpeg encoder or a raw .yuv file."""
+
+    def __init__(self, settings: Settings, source: FrameSource):
+        out_path = settings.encode_watermark_file_path
+        self._proc = None
+        self._file = None
+        if out_path.endswith(".yuv") or not ff.ffmpeg_path():
+            if not out_path.endswith(".yuv"):
+                raise RuntimeError(
+                    "No ffmpeg binary: set encode_watermark_file_path to a "
+                    ".yuv path for raw output")
+            self._file = open(out_path, "wb")
+            fd = self._file.fileno()
+        else:
+            self._proc = ff.open_encoder(out_path, source.width,
+                                         source.height, source.fps,
+                                         settings.encode_options,
+                                         settings.video)
+            fd = self._proc.stdin.fileno()
+        self.writer = FrameWriter(fd, frame_bytes(source.width,
+                                                  source.height))
+
+    def put(self, frame_bytes_: bytes):
+        self.writer.put(frame_bytes_)
+
+    def close(self):
+        self.writer.close()
+        if self._proc is not None:
+            self._proc.stdin.close()
+            self._proc.wait()
+        if self._file is not None:
+            self._file.close()
+
+
+def _luma_f32(frame: np.ndarray, width: int, height: int) -> np.ndarray:
+    luma, _, _ = split_planes(frame, width, height)
+    return luma.astype(np.float32)
+
+
+def embed_video(settings: Settings, engine: Watermark | None = None,
+                out=sys.stdout) -> int:
+    """Watermark every interval-th frame; stream everything to the sink."""
+    source = FrameSource(settings)
+    sink = FrameSink(settings, source)
+    interval = settings.watermark_interval
+    if engine is None:
+        engine = Watermark(source.height, source.width, settings.watermark,
+                           p=settings.p, psnr=settings.psnr)
+
+    pending = None          # (device result, original frame) awaiting write
+    buffered: list[np.ndarray] = []
+    frames = 0
+
+    def flush_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        marked_dev, frame = pending
+        luma_u8 = np.asarray(marked_dev).astype(np.uint8)  # truncating cast
+        _, u, v = split_planes(frame, source.width, source.height)
+        sink.put(luma_u8.tobytes() + u.tobytes() + v.tobytes())
+        for buffered_frame in buffered:
+            sink.put(buffered_frame.tobytes())
+        buffered.clear()
+        pending = None
+
+    start = time.perf_counter()
+    while True:
+        frame = source.next()
+        if frame is None:
+            break
+        if frames % interval == 0:
+            flush_pending()     # collect the previous sampled frame first
+            luma = _luma_f32(frame, source.width, source.height)
+            marked, _ = engine.embed(luma, mask_type=MaskType.ME)
+            pending = (marked, frame)   # async: collected at next sample/EOF
+        elif pending is not None:
+            buffered.append(frame)      # must wait for the pending write
+        else:
+            sink.put(frame.tobytes())
+        frames += 1
+    flush_pending()
+    elapsed = time.perf_counter() - start
+
+    source.close()
+    sink.close()
+    print(f"\nWatermark embedding total execution time: "
+          f"{execution_time(False, elapsed)}", file=out)
+    return frames
+
+
+def detect_video(settings: Settings, engine: BatchedWatermark | None = None,
+                 out=sys.stdout) -> tuple[int, list[tuple[int, float]]]:
+    """Print per-sampled-frame detector correlations (reference format)."""
+    source = FrameSource(settings)
+    interval = settings.watermark_interval
+    batch_size = max(1, settings.detect_batch)
+    if engine is None:
+        engine = BatchedWatermark(source.height, source.width,
+                                  settings.watermark, p=settings.p,
+                                  psnr=settings.psnr)
+
+    results: list[tuple[int, float]] = []
+    pending: list[tuple[list[int], object]] = []   # (frame ids, device corrs)
+    batch_ids: list[int] = []
+    batch_lumas: list[np.ndarray] = []
+    frames = 0
+
+    def dispatch():
+        nonlocal batch_ids, batch_lumas
+        if not batch_lumas:
+            return
+        stack = np.stack(batch_lumas)
+        corr = engine.detect(stack, MaskType.ME)
+        pending.append((batch_ids, corr))
+        batch_ids, batch_lumas = [], []
+
+    def collect(block_all=False):
+        while pending and (block_all or len(pending) > 1):
+            ids, corr = pending.pop(0)
+            for frame_id, value in zip(ids, np.asarray(corr)):
+                results.append((frame_id, float(value)))
+                print(f"Correlation for frame: {frame_id}: {value:g}",
+                      file=out)
+
+    start = time.perf_counter()
+    while True:
+        frame = source.next()
+        if frame is None:
+            break
+        if frames % interval == 0:
+            batch_ids.append(frames)
+            batch_lumas.append(
+                _luma_f32(frame, source.width, source.height))
+            if len(batch_lumas) >= batch_size:
+                dispatch()
+                collect()     # keep at most one batch in flight
+        frames += 1
+    dispatch()
+    collect(block_all=True)
+    elapsed = time.perf_counter() - start
+    source.close()
+
+    print(f"\nWatermark detection total execution time: "
+          f"{execution_time(False, elapsed)}", file=out)
+    if frames:
+        print(f"\nWatermark detection average execution time per frame: "
+              f"{execution_time(settings.execution_time_in_fps, elapsed / frames)}",
+              file=out)
+    return frames, results
+
+
+def test_for_video(settings: Settings) -> int:
+    """CLI dispatch, mirroring testForVideo (main.cpp:245-316)."""
+    if settings.encode_watermark_file_path:
+        embed_video(settings)
+    elif settings.watermark_detection:
+        detect_video(settings)
+    return 0

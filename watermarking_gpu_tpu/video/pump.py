@@ -1,0 +1,166 @@
+"""Frame pump: threaded, double-buffered frame IO.
+
+Prefers the native C++ pump (``native/libwmpump.so``, built with
+``make -C native``) — a reader/writer thread pair with a ring of frame
+buffers so decode/encode IO overlaps TPU compute, replacing the reference's
+synchronous pinned-buffer loop
+(``/root/reference/Watermark_GPU/main.cpp:271-275,319-340``). Falls back to a
+pure-Python threaded implementation with identical semantics when the shared
+library is not built.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import queue
+import threading
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "libwmpump.so")
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _lib = False
+        return _lib
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        _lib = False
+        return _lib
+    lib.wmp_reader_open.restype = ctypes.c_void_p
+    lib.wmp_reader_open.argtypes = [ctypes.c_int, ctypes.c_size_t,
+                                    ctypes.c_int]
+    lib.wmp_reader_next.restype = ctypes.c_int
+    lib.wmp_reader_next.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.wmp_reader_close.argtypes = [ctypes.c_void_p]
+    lib.wmp_writer_open.restype = ctypes.c_void_p
+    lib.wmp_writer_open.argtypes = [ctypes.c_int, ctypes.c_size_t,
+                                    ctypes.c_int]
+    lib.wmp_writer_put.restype = ctypes.c_int
+    lib.wmp_writer_put.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.wmp_writer_close.restype = ctypes.c_int
+    lib.wmp_writer_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return bool(_load_lib())
+
+
+class FrameReader:
+    """Prefetching reader of fixed-size frames from a file descriptor."""
+
+    def __init__(self, fd: int, frame_bytes: int, depth: int = 4,
+                 force_python: bool = False):
+        self.frame_bytes = frame_bytes
+        lib = None if force_python else _load_lib()
+        self._native = bool(lib)
+        if self._native:
+            self._lib = lib
+            self._handle = lib.wmp_reader_open(fd, frame_bytes, depth)
+            self._buf = ctypes.create_string_buffer(frame_bytes)
+        else:
+            self._queue: queue.Queue = queue.Queue(maxsize=depth)
+            self._fd = fd
+            self._thread = threading.Thread(target=self._pump, daemon=True)
+            self._thread.start()
+
+    def _pump(self):
+        while True:
+            chunks = []
+            remaining = self.frame_bytes
+            while remaining:
+                chunk = os.read(self._fd, remaining)
+                if not chunk:
+                    break
+                chunks.append(chunk)
+                remaining -= len(chunk)
+            if remaining:          # EOF (partial trailing frame dropped)
+                self._queue.put(None)
+                return
+            self._queue.put(b"".join(chunks))
+
+    def next(self) -> np.ndarray | None:
+        """Next frame as a uint8 array, or None at EOF."""
+        if self._native:
+            rc = self._lib.wmp_reader_next(self._handle, self._buf)
+            if rc <= 0:
+                if rc < 0:
+                    raise IOError("native frame reader failed")
+                return None
+            return np.frombuffer(self._buf.raw, dtype=np.uint8).copy()
+        data = self._queue.get()
+        if data is None:
+            return None
+        return np.frombuffer(data, dtype=np.uint8)
+
+    def close(self):
+        if self._native and self._handle:
+            self._lib.wmp_reader_close(self._handle)
+            self._handle = None
+
+
+class FrameWriter:
+    """Buffered writer of fixed-size frames to a file descriptor."""
+
+    def __init__(self, fd: int, frame_bytes: int, depth: int = 4,
+                 force_python: bool = False):
+        self.frame_bytes = frame_bytes
+        lib = None if force_python else _load_lib()
+        self._native = bool(lib)
+        if self._native:
+            self._lib = lib
+            self._handle = lib.wmp_writer_open(fd, frame_bytes, depth)
+        else:
+            self._fd = fd
+            self._queue: queue.Queue = queue.Queue(maxsize=depth)
+            self._error = False
+            self._thread = threading.Thread(target=self._pump, daemon=True)
+            self._thread.start()
+
+    def _pump(self):
+        while True:
+            data = self._queue.get()
+            if data is None:
+                return
+            try:
+                os.write(self._fd, data)
+            except OSError:
+                self._error = True
+                return
+
+    def put(self, frame: np.ndarray | bytes):
+        data = frame.tobytes() if isinstance(frame, np.ndarray) else frame
+        if len(data) != self.frame_bytes:
+            raise ValueError(
+                f"frame is {len(data)} bytes, expected {self.frame_bytes}")
+        if self._native:
+            if self._lib.wmp_writer_put(self._handle, data) < 0:
+                raise IOError("native frame writer failed")
+        else:
+            if self._error:
+                raise IOError("frame writer failed")
+            self._queue.put(data)
+
+    def close(self):
+        if self._native:
+            if self._handle:
+                rc = self._lib.wmp_writer_close(self._handle)
+                self._handle = None
+                if rc < 0:
+                    raise IOError("native frame writer failed on close")
+        else:
+            self._queue.put(None)
+            self._thread.join()
+            if self._error:
+                raise IOError("frame writer failed")
