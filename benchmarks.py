@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Full benchmark sweep over the BASELINE.md configurations.
+
+Covers what BASELINE.json lists as measured configs: embed+detect at 512^2 /
+1080p / 4K for both masks, and interval-sampled video detection. Writes a
+JSON report; ``bench.py`` remains the driver's single-line headline metric.
+
+Usage: python benchmarks.py [--out BENCH_SWEEP.json] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from watermarking_gpu_tpu.io import load_image_gray  # noqa: E402
+from watermarking_gpu_tpu.io.matfile import generate_watermark  # noqa: E402
+from watermarking_gpu_tpu.models.batched import (batch_detect,  # noqa: E402
+                                                 batch_embed)
+from watermarking_gpu_tpu.models.watermark import default_impl  # noqa: E402
+from watermarking_gpu_tpu.ops import strength_factor  # noqa: E402
+
+SAMPLES = "/root/reference/Watermark_GPU/samples/images"
+SIZES = {
+    "512": (512, 512, "512.png"),
+    "1080p": (1080, 1920, "1080p.png"),
+    "4k": (2160, 3840, "4k.png"),
+}
+
+
+def load_frames(rows, cols, image_file, batch):
+    path = os.path.join(SAMPLES, image_file)
+    if os.path.exists(path):
+        base = load_image_gray(path)
+    else:
+        rng = np.random.default_rng(0)
+        base = np.clip(rng.normal(128, 40, (rows, cols)), 0,
+                       255).astype(np.float32)
+    return np.broadcast_to(base, (batch, rows, cols)).copy()
+
+
+def measure_roundtrip(frames, watermark, mask_type, impl, iters=(6, 24)):
+    """Chained embed+detect steps closed by a D2H pull; slope isolates
+    per-step device time from the harness's fixed sync cost."""
+    sf = strength_factor(40.0)
+    batch = frames.shape[0]
+
+    @jax.jit
+    def step(f, wm):
+        marked, _ = batch_embed(f, f, wm, sf, mask_type, impl=impl)
+        return marked, batch_detect(marked, wm, mask_type, impl=impl)
+
+    frames = jax.device_put(frames)
+    watermark = jax.device_put(watermark)
+    m, c = step(frames, watermark)
+    np.asarray(c)
+
+    def run(n):
+        f = frames
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            f, out = step(f, watermark)
+        pulled = np.asarray(out)
+        return time.perf_counter() - t0, pulled
+
+    run(2)
+    t1, _ = run(iters[0])
+    t2, corrs = run(iters[1])
+    per_step = (t2 - t1) / (iters[1] - iters[0])
+    return {
+        "fps": round(batch / per_step, 1),
+        "ms_per_frame": round(1e3 * per_step / batch, 4),
+        "mean_correlation": round(float(corrs.mean()), 4),
+    }
+
+
+def video_detect_benchmark(rows=1080, cols=1920, interval=30, frames=300,
+                           batch=8):
+    """Throughput of interval-sampled batched detection (device side)."""
+    from watermarking_gpu_tpu.models.batched import BatchedWatermark
+
+    sampled = frames // interval
+    rng = np.random.default_rng(0)
+    lumas = np.clip(rng.normal(128, 40, (sampled, rows, cols)), 0,
+                    255).astype(np.float32)
+    engine = BatchedWatermark(rows, cols, 28390211, psnr=40.0)
+    first = engine.detect(lumas[:batch])
+    np.asarray(first)
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(0, sampled - batch + 1, batch):
+        outs.append(engine.detect(lumas[i:i + batch]))
+    pulled = [np.asarray(o) for o in outs]
+    elapsed = time.perf_counter() - t0
+    processed = sum(len(p) for p in pulled)
+    return {
+        "video_frames_equivalent_fps": round(
+            processed * interval / elapsed, 1),
+        "sampled_detects_per_s": round(processed / elapsed, 1),
+        "interval": interval,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="BENCH_SWEEP.json")
+    parser.add_argument("--quick", action="store_true",
+                        help="512 + 1080p only, fewer iterations")
+    args = parser.parse_args()
+
+    impl = default_impl()
+    report = {"impl": impl, "device": str(jax.devices()[0]), "results": {}}
+    sizes = {k: v for k, v in SIZES.items()
+             if not (args.quick and k == "4k")}
+    iters = (4, 12) if args.quick else (6, 24)
+
+    for name, (rows, cols, image_file) in sizes.items():
+        batch = 8 if rows <= 1080 else 2
+        frames = load_frames(rows, cols, image_file, batch)
+        watermark = generate_watermark(rows, cols, 28390211).astype(
+            np.float32)
+        for mask_type in ("me", "nvf"):
+            key = f"embed_detect_{name}_{mask_type}"
+            report["results"][key] = measure_roundtrip(
+                frames, watermark, mask_type, impl, iters)
+            print(key, report["results"][key], flush=True)
+
+    report["results"]["video_detect_1080p"] = video_detect_benchmark()
+    print("video_detect_1080p", report["results"]["video_detect_1080p"],
+          flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""CLI smoke tests on the CPU backend (xla impl, tiny loops)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from watermarking_gpu_tpu.cli import main as cli
+from watermarking_gpu_tpu.io.matfile import save_watermark
+
+SAMPLES = "/root/reference/Watermark_GPU/samples"
+
+
+@pytest.fixture()
+def ini(tmp_path, rng):
+    """A settings.ini over a small generated image + watermark."""
+    from PIL import Image
+    img = np.clip(rng.normal(128, 40, (96, 128, 3)), 0, 255).astype(np.uint8)
+    img_path = tmp_path / "img.png"
+    Image.fromarray(img).save(img_path)
+    wm_path = tmp_path / "w.dat"
+    save_watermark(wm_path, rng.normal(size=(96, 128)).astype(np.float32))
+    path = tmp_path / "settings.ini"
+    path.write_text(f"""
+[paths]
+image = {img_path}
+watermark = {wm_path}
+
+[options]
+opencl_device = 0
+save_watermarked_files_to_disk = true
+execution_time_in_fps = false
+
+[parameters]
+p = 3
+psnr = 40.0
+loops_for_test = 1
+""")
+    return str(path), str(img_path)
+
+
+def test_cli_image_flow(ini, capsys):
+    path, img_path = ini
+    assert cli.main([path]) == 0
+    out = capsys.readouterr().out
+    assert "Correlation [NVF]:" in out
+    assert "Correlation [ME]:" in out
+    assert "Watermark strength (parameter a):" in out
+    root, ext = os.path.splitext(img_path)
+    assert os.path.exists(f"{root}_W_NVF{ext}")
+    assert os.path.exists(f"{root}_W_ME{ext}")
+
+
+def test_cli_missing_settings(capsys):
+    assert cli.main(["/nonexistent/settings.ini"]) == 1
+    assert "Could not load" in capsys.readouterr().out
+
+
+def test_cli_bad_p(tmp_path, ini, capsys):
+    path, _ = ini
+    text = open(path).read().replace("p = 3", "p = 5")
+    bad = tmp_path / "bad.ini"
+    bad.write_text(text)
+    assert cli.main([str(bad)]) == 1
+    assert "only p=3" in capsys.readouterr().out
+
+
+def test_cli_bad_psnr(tmp_path, ini, capsys):
+    path, _ = ini
+    text = open(path).read().replace("psnr = 40.0", "psnr = -1")
+    bad = tmp_path / "bad.ini"
+    bad.write_text(text)
+    assert cli.main([str(bad)]) == 1
+    assert "PSNR must be a positive number" in capsys.readouterr().out
+
+
+def test_cli_small_image(tmp_path, ini, capsys, rng):
+    """Images below 64px per side are rejected (main.cpp:161)."""
+    from PIL import Image
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    small = tmp_path / "small.png"
+    Image.fromarray(img).save(small)
+    save_watermark(tmp_path / "w32.dat",
+                   rng.normal(size=(32, 32)).astype(np.float32))
+    path, _ = ini
+    text = open(path).read()
+    text = text.replace(text.split("image = ")[1].split("\n")[0], str(small))
+    text = text.replace(text.split("watermark = ")[1].split("\n")[0],
+                        str(tmp_path / "w32.dat"))
+    bad = tmp_path / "small.ini"
+    bad.write_text(text)
+    assert cli.main([str(bad)]) == 1
+    assert "Image dimensions too low" in capsys.readouterr().out
+
+
+def test_cli_video_dispatch(tmp_path, rng, capsys):
+    """[paths] video selects the video pipeline (detect mode)."""
+    from watermarking_gpu_tpu.video import synthesize
+    clip = tmp_path / "clip.yuv"
+    clip.write_bytes(synthesize(128, 96, 4, seed=1))
+    wm = tmp_path / "w.dat"
+    save_watermark(wm, rng.normal(size=(96, 128)).astype(np.float32))
+    ini = tmp_path / "v.ini"
+    ini.write_text(f"""
+[paths]
+video = {clip}
+watermark = {wm}
+
+[parameters]
+p = 3
+psnr = 40.0
+
+[parameters_video]
+watermark_interval = 2
+watermark_detection = true
+raw_video_size = 128x96
+""")
+    assert cli.main([str(ini)]) == 0
+    out = capsys.readouterr().out
+    assert "Correlation for frame: 0:" in out
+    assert "Correlation for frame: 2:" in out
+    assert "Watermark detection total execution time" in out
+
+
+def test_display_array(tmp_path, rng):
+    from watermarking_gpu_tpu.utils import display_array
+    arr = rng.normal(size=(32, 48))
+    path = display_array(arr, path=str(tmp_path / "dbg.png"))
+    assert os.path.exists(path)
+    from PIL import Image
+    assert Image.open(path).size == (48, 32)

@@ -1,5 +1,6 @@
-"""Utilities: timing, padding helpers."""
+"""Utilities: timing, debug display helpers."""
 
+from .display import display_array
 from .timing import Timer, execution_time
 
-__all__ = ["Timer", "execution_time"]
+__all__ = ["Timer", "display_array", "execution_time"]
