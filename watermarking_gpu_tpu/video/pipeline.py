@@ -114,8 +114,9 @@ def _luma_f32(frame: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def embed_video(settings: Settings, engine: Watermark | None = None,
-                out=sys.stdout) -> int:
+                out=None) -> int:
     """Watermark every interval-th frame; stream everything to the sink."""
+    out = sys.stdout if out is None else out
     source = FrameSource(settings)
     sink = FrameSink(settings, source)
     interval = settings.watermark_interval
@@ -166,8 +167,9 @@ def embed_video(settings: Settings, engine: Watermark | None = None,
 
 
 def detect_video(settings: Settings, engine: BatchedWatermark | None = None,
-                 out=sys.stdout) -> tuple[int, list[tuple[int, float]]]:
+                 out=None) -> tuple[int, list[tuple[int, float]]]:
     """Print per-sampled-frame detector correlations (reference format)."""
+    out = sys.stdout if out is None else out
     source = FrameSource(settings)
     interval = settings.watermark_interval
     batch_size = max(1, settings.detect_batch)
