@@ -12,8 +12,10 @@ These collapse everything after the Rx/rx solve into one pass over the image:
 
 * ``fused_embed_field``: per strip, compute the unnormalized watermark field
   u_raw = mask_unnormalized * W and accumulate sum(u_raw^2) and max|e| — all
-  the embedder then needs is one tiny AXPY+clamp pass
-  (``embed_from_field``).
+  the embedder then needs is one tiny AXPY+clamp pass.
+
+Both expose ``*_padded`` variants taking pre-padded inputs and shared strip
+geometry so a pipeline pads each array exactly once (``ops/pipelines.py``).
 
 Numerical notes:
 
@@ -47,10 +49,21 @@ SLOT_NORM_Z = 2   # sum e_z^2
 SLOT_SUM_U2 = 0   # embed: sum u_raw^2
 SLOT_MAX_E = 1    # embed: max |error| (reported-strength only)
 
+SHARED_BUDGET = 130_000  # elements; the tightest of the fused kernels
+
+
+def pipeline_geometry(rows: int, cols: int, mask_type: str,
+                      p: int) -> tuple[int, int, int]:
+    """(pad, strip, rows_padded) shared by every kernel of one pipeline."""
+    pad = 4 if (mask_type == "me" or 1 + p // 2 <= 4) else 8
+    strip, rows_padded = pick_strip_for_width(rows, cols, SHARED_BUDGET, pad)
+    return pad, strip, rows_padded
+
 
 def _error_region(ext, coeffs, base, span, width, pad):
     """e = center - sum_k c_k * neighbor_k over a (span, width) region whose
     top-left sits at (base, base) inside the (.., pad, ..)-padded strip."""
+    del pad
     acc = ext[base : base + span, base : base + width]
     for k, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
         acc = acc - coeffs[k] * ext[base + dr : base + dr + span,
@@ -155,24 +168,12 @@ def _detect_tail_kernel(coeffs_ref, img_ref, wm_ref, acc_ref, *, pad: int,
     })
 
 
-@partial(jax.jit, static_argnames=("mask_type", "p"))
-def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
-                      coefficients: jnp.ndarray, mask_type: str = "me",
-                      p: int = 3) -> jnp.ndarray:
-    """Correlations for (B?, H, W) images given per-image coefficients.
-
-    Returns (B?,) correlations = dot / sqrt(nu * nz).
-    """
-    squeeze = image.ndim == 2
-    if squeeze:
-        image = image[None]
-        coefficients = coefficients[None]
-    batch, rows, cols = image.shape
-    pad = 4 if (mask_type == "me" or 1 + p // 2 <= 4) else 8
-    strip, rows_padded = pick_strip_for_width(rows, cols, 160_000, pad)
-    img_p = pad_image(image, pad, rows_padded)
-    wm_p = pad_image(watermark, pad, rows_padded)
-
+def fused_detect_tail_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
+                             coefficients: jnp.ndarray, rows: int, cols: int,
+                             pad: int, strip: int, rows_padded: int,
+                             mask_type: str, p: int) -> jnp.ndarray:
+    """Correlations from pre-padded (B, rows_padded+2p, cols+2p) inputs."""
+    batch = img_p.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch, rows_padded // strip),
@@ -197,11 +198,27 @@ def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((batch, 1, 128), jnp.float32),
         interpret=interpret_mode(),
     )(coefficients.reshape(-1), img_p, wm_p)
-
     dot = acc[:, 0, SLOT_DOT]
     norm_u = acc[:, 0, SLOT_NORM_U]
     norm_z = acc[:, 0, SLOT_NORM_Z]
-    corr = dot / jnp.sqrt(norm_u * norm_z)
+    return dot / jnp.sqrt(norm_u * norm_z)
+
+
+@partial(jax.jit, static_argnames=("mask_type", "p"))
+def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
+                      coefficients: jnp.ndarray, mask_type: str = "me",
+                      p: int = 3) -> jnp.ndarray:
+    """Correlations for (B?, H, W) images given per-image coefficients."""
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+        coefficients = coefficients[None]
+    batch, rows, cols = image.shape
+    pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
+    corr = fused_detect_tail_padded(
+        pad_image(image, pad, rows_padded),
+        pad_image(watermark, pad, rows_padded),
+        coefficients, rows, cols, pad, strip, rows_padded, mask_type, p)
     return corr[0] if squeeze else corr
 
 
@@ -240,24 +257,12 @@ def _embed_field_kernel(coeffs_ref, img_ref, wm_ref, u_ref, acc_ref, *,
     acc_ref[0] = jnp.where(col == SLOT_MAX_E, maxed, added)
 
 
-@partial(jax.jit, static_argnames=("mask_type", "p"))
-def fused_embed_field(image: jnp.ndarray, watermark: jnp.ndarray,
-                      coefficients: jnp.ndarray, mask_type: str = "me",
-                      p: int = 3):
-    """Unnormalized watermark field + reductions for (B?, H, W) images.
-
-    Returns (u_raw (B?, H, W), sum_u2 (B?,), max_e (B?,)).
-    """
-    squeeze = image.ndim == 2
-    if squeeze:
-        image = image[None]
-        coefficients = coefficients[None]
-    batch, rows, cols = image.shape
-    pad = 4 if (mask_type == "me" or p // 2 <= 4) else 8
-    strip, rows_padded = pick_strip_for_width(rows, cols, 200_000, pad)
-    img_p = pad_image(image, pad, rows_padded)
-    wm_p = pad_image(watermark, pad, rows_padded)
-
+def fused_embed_field_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
+                             coefficients: jnp.ndarray, rows: int, cols: int,
+                             pad: int, strip: int, rows_padded: int,
+                             mask_type: str, p: int):
+    """(u_raw (B, rows, cols), sum_u2 (B,), max_e (B,)) from padded inputs."""
+    batch = img_p.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch, rows_padded // strip),
@@ -289,9 +294,27 @@ def fused_embed_field(image: jnp.ndarray, watermark: jnp.ndarray,
         ),
         interpret=interpret_mode(),
     )(coefficients.reshape(-1), img_p, wm_p)
-    u_raw = u_raw[:, :rows]
-    sum_u2 = acc[:, 0, SLOT_SUM_U2]
-    max_e = acc[:, 0, SLOT_MAX_E]
+    return (u_raw[:, :rows], acc[:, 0, SLOT_SUM_U2], acc[:, 0, SLOT_MAX_E])
+
+
+@partial(jax.jit, static_argnames=("mask_type", "p"))
+def fused_embed_field(image: jnp.ndarray, watermark: jnp.ndarray,
+                      coefficients: jnp.ndarray, mask_type: str = "me",
+                      p: int = 3):
+    """Unnormalized watermark field + reductions for (B?, H, W) images.
+
+    Returns (u_raw (B?, H, W), sum_u2 (B?,), max_e (B?,)).
+    """
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[None]
+        coefficients = coefficients[None]
+    batch, rows, cols = image.shape
+    pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
+    u_raw, sum_u2, max_e = fused_embed_field_padded(
+        pad_image(image, pad, rows_padded),
+        pad_image(watermark, pad, rows_padded),
+        coefficients, rows, cols, pad, strip, rows_padded, mask_type, p)
     if squeeze:
         return u_raw[0], sum_u2[0], max_e[0]
     return u_raw, sum_u2, max_e

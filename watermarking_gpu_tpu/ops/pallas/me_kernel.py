@@ -66,6 +66,27 @@ def _me_gram_kernel(pin, pout, *, pad: int, strip: int, width: int,
             index += 1
 
 
+def me_gram_padded(img_p: jnp.ndarray, rows: int, cols: int, pad: int,
+                   strip: int, rows_padded: int) -> jnp.ndarray:
+    """(B, 9, 9) Gram from a pre-padded (B, rows_padded+2p, cols+2p) image."""
+    batch = img_p.shape[0]
+    partials = pl.pallas_call(
+        partial(_me_gram_kernel, pad=pad, strip=strip, width=cols, rows=rows),
+        grid=(batch, rows_padded // strip),
+        in_specs=[pl.BlockSpec(
+            (pl.Element(1), pl.Element(strip + 2 * pad),
+             pl.Element(cols + 2 * pad)),
+            lambda b, i: (b, i * strip, 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 48, cols), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 48, cols), jnp.float32),
+        interpret=interpret_mode(),
+    )(img_p)
+    sums = jnp.sum(partials[:, :45], axis=-1)        # (B, 45)
+    return sums[:, _PAIR_INDEX]                      # (B, 9, 9) gather
+
+
 @partial(jax.jit, static_argnames=("strip",))
 def me_gram_pallas(image: jnp.ndarray,
                    strip: int | None = None) -> jnp.ndarray:
@@ -79,22 +100,7 @@ def me_gram_pallas(image: jnp.ndarray,
     else:
         strip, rows_padded = pick_strip(rows, strip)
     padded = pad_image(image, PAD, rows_padded)
-
-    partials = pl.pallas_call(
-        partial(_me_gram_kernel, pad=PAD, strip=strip, width=cols, rows=rows),
-        grid=(batch, rows_padded // strip),
-        in_specs=[pl.BlockSpec(
-            (pl.Element(1), pl.Element(strip + 2 * PAD),
-             pl.Element(cols + 2 * PAD)),
-            lambda b, i: (b, i * strip, 0),
-            memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 48, cols), lambda b, i: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 48, cols), jnp.float32),
-        interpret=interpret_mode(),
-    )(padded)
-    sums = jnp.sum(partials[:, :45], axis=-1)        # (B, 45)
-    gram = sums[:, _PAIR_INDEX]                      # (B, 9, 9) gather
+    gram = me_gram_padded(padded, rows, cols, PAD, strip, rows_padded)
     return gram[0] if squeeze else gram
 
 

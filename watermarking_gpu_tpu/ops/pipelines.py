@@ -66,26 +66,52 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
                      fallback)
 
 
+def _pad_once(image, watermark, mask_type, p):
+    """Shared pre-padding for all fused kernels of one pipeline call."""
+    from .pallas.common import pad_image
+    from .pallas.fused import pipeline_geometry
+
+    squeeze = image.ndim == 2
+    img3 = image[None] if squeeze else image
+    batch, rows, cols = img3.shape
+    pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
+    img_p = pad_image(img3, pad, rows_padded)
+    wm_p = pad_image(watermark, pad, rows_padded)
+    return squeeze, img_p, wm_p, (rows, cols, pad, strip, rows_padded)
+
+
 def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
                           mask_type, p):
     """Pallas fast path: gram+solve, one fused field pass, one AXPY pass.
 
-    The ME mask's 1/max normalization cancels in the embedded pixels (see
-    ops/embed.py), so the fused field is unnormalized and the max only feeds
-    the reported strength.
+    The image and watermark are edge-padded exactly once and shared by the
+    gram and field kernels. The ME mask's 1/max normalization cancels in the
+    embedded pixels (see ops/embed.py), so the fused field is unnormalized
+    and the max only feeds the reported strength.
     """
     import math
 
-    from .pallas.fused import fused_embed_field
+    from .me import solve_coefficients
+    from .pallas.fused import fused_embed_field_padded
+    from .pallas.me_kernel import me_gram_padded
 
+    squeeze, img_p, wm_p, geo = _pad_once(image, watermark, mask_type, p)
+    rows, cols, pad, strip, rows_padded = geo
+    batch = img_p.shape[0]
     if mask_type == "me":
-        coefficients, valid = _analysis(image, "pallas")
+        gram = me_gram_padded(img_p, rows, cols, pad, strip, rows_padded)
+        coefficients, valid = solve_coefficients(gram[:, :8, :8],
+                                                 gram[:, :8, 8])
     else:
-        coefficients = jnp.zeros(image.shape[:-2] + (8,), jnp.float32)
-        valid = jnp.ones(image.shape[:-2], dtype=bool)
-    u_raw, sum_u2, max_e = fused_embed_field(image, watermark, coefficients,
-                                             mask_type=mask_type, p=p)
-    n = image.shape[-1] * image.shape[-2]
+        coefficients = jnp.zeros((batch, 8), jnp.float32)
+        valid = jnp.ones((batch,), dtype=bool)
+    u_raw, sum_u2, max_e = fused_embed_field_padded(
+        img_p, wm_p, coefficients, rows, cols, pad, strip, rows_padded,
+        mask_type, p)
+    if squeeze:
+        u_raw, sum_u2, max_e = u_raw[0], sum_u2[0], max_e[0]
+        valid = valid[0]
+    n = rows * cols
     scale = strength_factor_value * math.sqrt(n) / jnp.sqrt(sum_u2)  # (...,)
     strength = scale * max_e if mask_type == "me" else scale
     addend = u_raw * scale[..., None, None]
@@ -132,11 +158,20 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     (Watermark.cpp:238-241). Returns 0.0 where the system is unsolvable.
     """
     if impl == "pallas":
-        from .pallas.fused import fused_detect_tail
+        from .me import solve_coefficients
+        from .pallas.fused import fused_detect_tail_padded
+        from .pallas.me_kernel import me_gram_padded
 
-        coefficients, valid = _analysis(image, impl)
-        corr = fused_detect_tail(image, watermark, coefficients,
-                                 mask_type=mask_type, p=p)
+        squeeze, img_p, wm_p, geo = _pad_once(image, watermark, mask_type, p)
+        rows, cols, pad, strip, rows_padded = geo
+        gram = me_gram_padded(img_p, rows, cols, pad, strip, rows_padded)
+        coefficients, valid = solve_coefficients(gram[:, :8, :8],
+                                                 gram[:, :8, 8])
+        corr = fused_detect_tail_padded(
+            img_p, wm_p, coefficients, rows, cols, pad, strip, rows_padded,
+            mask_type, p)
+        if squeeze:
+            corr, valid = corr[0], valid[0]
         return jnp.where(valid, corr, 0.0)
 
     coefficients, valid = _analysis(image, impl)
