@@ -100,3 +100,48 @@ def test_pallas_pipeline_matches_xla(image, rng):
         assert float(got_s) == pytest.approx(float(ref_s), rel=1e-4)
         np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
                                    atol=5e-2)
+
+
+@pytest.mark.parametrize("p", [5, 9])
+def test_pallas_pipeline_nvf_wide_windows(image, rng, p):
+    """p=9 exercises the pad=8 geometry in the fused detect tail."""
+    from watermarking_gpu_tpu.ops.pipelines import detect_pipeline
+    wm = jnp.asarray(rng.normal(size=image.shape).astype(np.float32))
+    ref = float(detect_pipeline(image, wm, "nvf", p=p, impl="xla"))
+    got = float(detect_pipeline(image, wm, "nvf", p=p, impl="pallas"))
+    assert got == pytest.approx(ref, abs=2e-4)
+
+
+def test_pallas_fuzz_shapes(rng):
+    """Random odd shapes through both fused pipelines vs the oracle."""
+    from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
+                                                    embed_pipeline)
+    for rows, cols in [(17, 131), (64, 64), (33, 257), (96, 140)]:
+        img = jnp.asarray(np.clip(rng.normal(128, 40, (rows, cols)), 0,
+                                  255).astype(np.float32))
+        wm = jnp.asarray(rng.normal(size=(rows, cols)).astype(np.float32))
+        ref = float(detect_pipeline(img, wm, "me", impl="xla"))
+        got = float(detect_pipeline(img, wm, "me", impl="pallas"))
+        assert got == pytest.approx(ref, abs=3e-4), (rows, cols)
+        ref_o, ref_s = embed_pipeline(img, img, wm, 2.55, "me", impl="xla")
+        got_o, got_s = embed_pipeline(img, img, wm, 2.55, "me", impl="pallas")
+        assert float(got_s) == pytest.approx(float(ref_s), rel=2e-4)
+        np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
+                                   atol=0.1)
+
+
+def test_pallas_singular_system(rng):
+    """Constant image -> singular Rx -> detect 0, embed passthrough."""
+    from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
+                                                    embed_pipeline)
+    const = jnp.full((40, 96), 77.0, dtype=jnp.float32)
+    wm = jnp.asarray(rng.normal(size=(40, 96)).astype(np.float32))
+    corr = detect_pipeline(const, wm, "me", impl="pallas")
+    out, strength = embed_pipeline(const, const, wm, 2.55, "me",
+                                   impl="pallas")
+    corr_x = detect_pipeline(const, wm, "me", impl="xla")
+    # either both impls flag singularity (0.0) or both produce a finite
+    # garbage solution; they must agree on the contract
+    assert (float(corr) == 0.0) == (float(corr_x) == 0.0)
+    if float(strength) == 0.0:
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(const))
