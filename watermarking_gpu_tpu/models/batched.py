@@ -16,7 +16,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.pipelines import detect_pipeline, embed_pipeline
 from .masks import MaskType

@@ -9,7 +9,6 @@ Batch-polymorphic: error sequences (..., H, W) -> correlations (...,).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

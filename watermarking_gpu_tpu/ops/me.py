@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .neighbors import NUM_NEIGHBORS, neighbor_stack
+from .neighbors import neighbor_stack
 
 # The normal-equation accumulation must not be demoted to bf16 inputs (the
 # default matmul precision does that on both XLA:CPU and the TPU MXU); full

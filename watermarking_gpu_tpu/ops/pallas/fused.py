@@ -60,10 +60,9 @@ def pipeline_geometry(rows: int, cols: int, mask_type: str,
     return pad, strip, rows_padded
 
 
-def _error_region(ext, coeffs, base, span, width, pad):
+def _error_region(ext, coeffs, base, span, width):
     """e = center - sum_k c_k * neighbor_k over a (span, width) region whose
-    top-left sits at (base, base) inside the (.., pad, ..)-padded strip."""
-    del pad
+    top-left sits at (base, base) inside the padded strip."""
     acc = ext[base : base + span, base : base + width]
     for k, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
         acc = acc - coeffs[k] * ext[base + dr : base + dr + span,
@@ -135,7 +134,7 @@ def _detect_tail_kernel(coeffs_ref, img_ref, wm_ref, acc_ref, *, pad: int,
     span = strip + 2   # e_z / u region including the +/-1 ring
     wspan = width + 2
     base = pad - 1
-    e_z_ext = _error_region(ext, coeffs, base, span, wspan, pad)
+    e_z_ext = _error_region(ext, coeffs, base, span, wspan)
     if mask_type == "me":
         mask_ext = jnp.abs(e_z_ext)       # unnormalized: corr is invariant
     else:
@@ -231,7 +230,7 @@ def _embed_field_kernel(coeffs_ref, img_ref, wm_ref, u_ref, acc_ref, *,
 
     if mask_type == "me":
         coeffs = [coeffs_ref[image_index * 8 + k] for k in range(8)]
-        err = _error_region(ext, coeffs, pad, strip, width, pad)
+        err = _error_region(ext, coeffs, pad, strip, width)
         mask = jnp.abs(err)               # unnormalized (see module docstring)
     else:
         mask = _nvf_region(ext, pad, strip, width, p)

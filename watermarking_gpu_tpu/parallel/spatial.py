@@ -23,13 +23,10 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 try:  # jax >= 0.6 exposes shard_map at the top level
-    from jax import shard_map as _shard_map_module
-
     shard_map = jax.shard_map
-except (ImportError, AttributeError):  # pragma: no cover - older jax
+except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.correlation import correlation as _  # noqa: F401 (doc anchor)
 from ..ops.me import solve_coefficients
 from ..ops.neighbors import neighbor_stack_from_padded
 from .mesh import SPACE_AXIS

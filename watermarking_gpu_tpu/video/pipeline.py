@@ -21,7 +21,6 @@ and watermarked luma is written back as truncated u8.
 
 from __future__ import annotations
 
-import os
 import sys
 import time
 
