@@ -1,0 +1,154 @@
+"""Serving layer: batching, pipelined embed/detect services.
+
+Production wrapper over the batched engines for high-throughput deployments:
+callers submit single frames and receive futures; a worker thread groups
+submissions into fixed-size batches (padding partial batches so every
+dispatch reuses one compiled program), keeps a bounded number of batches in
+flight on the device, and a collector thread pulls results so device->host
+transfers overlap compute and dispatch.
+
+This is the framework-level answer to the reference's synchronous
+one-frame-at-a-time loop (``/root/reference/Watermark_GPU/main.cpp:319-340``)
+for serving workloads; the video pipeline uses the same ideas inline.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+from .models.batched import BatchedWatermark
+from .models.masks import MaskType
+
+
+class _BatchingService:
+    """Shared machinery: batch former + dispatcher + result collector."""
+
+    def __init__(self, engine: BatchedWatermark, mask_type, batch_size: int,
+                 max_inflight: int, flush_timeout: float):
+        self.engine = engine
+        self.mask_type = MaskType.parse(mask_type)
+        self.batch_size = batch_size
+        self.flush_timeout = flush_timeout
+        self._submissions: queue.Queue = queue.Queue()
+        self._inflight: queue.Queue = queue.Queue(maxsize=max_inflight)
+        self._closed = False
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._collector = threading.Thread(target=self._collect_loop,
+                                           daemon=True)
+        self._dispatcher.start()
+        self._collector.start()
+
+    # -- override points ----------------------------------------------------
+
+    def _run_batch(self, stack: np.ndarray):
+        raise NotImplementedError
+
+    def _resolve(self, future: Future, host_results, index: int):
+        raise NotImplementedError
+
+    # -- internals ----------------------------------------------------------
+
+    def _dispatch_loop(self):
+        while True:
+            items = []
+            item = self._submissions.get()
+            if item is None:
+                self._inflight.put(None)
+                return
+            items.append(item)
+            # opportunistically fill the batch, waiting briefly for stragglers
+            while len(items) < self.batch_size:
+                try:
+                    nxt = self._submissions.get(timeout=self.flush_timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._drain_batch(items)
+                    self._inflight.put(None)
+                    return
+                items.append(nxt)
+            self._drain_batch(items)
+
+    def _drain_batch(self, items):
+        if not items:
+            return
+        futures, frames = zip(*items)
+        real = len(frames)
+        stack = np.stack(frames)
+        if real < self.batch_size:  # pad to the compiled batch shape
+            fill = np.repeat(stack[-1:], self.batch_size - real, axis=0)
+            stack = np.concatenate([stack, fill], axis=0)
+        device_result = self._run_batch(stack)   # async dispatch
+        self._inflight.put((futures, device_result, real))
+
+    def _collect_loop(self):
+        while True:
+            entry = self._inflight.get()
+            if entry is None:
+                return
+            futures, device_result, real = entry
+            try:
+                host = [np.asarray(leaf) for leaf in
+                        (device_result if isinstance(device_result, tuple)
+                         else (device_result,))]
+            except Exception as exc:  # propagate device errors to callers
+                for future in futures:
+                    future.set_exception(exc)
+                continue
+            for index, future in enumerate(futures[:real]):
+                self._resolve(future, host, index)
+
+    # -- public -------------------------------------------------------------
+
+    def submit(self, image: np.ndarray) -> Future:
+        if self._closed:
+            raise RuntimeError("service is closed")
+        future: Future = Future()
+        self._submissions.put((future, np.asarray(image, dtype=np.float32)))
+        return future
+
+    def close(self):
+        if not self._closed:
+            self._closed = True
+            self._submissions.put(None)
+            self._dispatcher.join()
+            self._collector.join()
+
+
+class DetectorService(_BatchingService):
+    """submit(gray frame) -> Future[float correlation]."""
+
+    def __init__(self, engine: BatchedWatermark,
+                 mask_type: "MaskType | str" = MaskType.ME,
+                 batch_size: int = 8, max_inflight: int = 2,
+                 flush_timeout: float = 0.005):
+        super().__init__(engine, mask_type, batch_size, max_inflight,
+                         flush_timeout)
+
+    def _run_batch(self, stack):
+        return self.engine.detect(stack, self.mask_type)
+
+    def _resolve(self, future, host, index):
+        future.set_result(float(host[0][index]))
+
+
+class EmbedderService(_BatchingService):
+    """submit(gray frame) -> Future[(watermarked ndarray, strength)]."""
+
+    def __init__(self, engine: BatchedWatermark,
+                 mask_type: "MaskType | str" = MaskType.ME,
+                 batch_size: int = 8, max_inflight: int = 2,
+                 flush_timeout: float = 0.005):
+        super().__init__(engine, mask_type, batch_size, max_inflight,
+                         flush_timeout)
+
+    def _run_batch(self, stack):
+        return self.engine.embed(stack, mask_type=self.mask_type)
+
+    def _resolve(self, future, host, index):
+        future.set_result((host[0][index], float(host[1][index])))
