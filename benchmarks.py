@@ -73,9 +73,17 @@ def measure_roundtrip(frames, watermark, mask_type, impl, iters=(6, 24)):
         return time.perf_counter() - t0, pulled
 
     run(2)
-    t1, _ = run(iters[0])
-    t2, corrs = run(iters[1])
-    per_step = (t2 - t1) / (iters[1] - iters[0])
+    # best-of-3 slopes: tunnel stalls only inflate times, so the minimum
+    # positive estimate is the least-polluted one
+    per_steps = []
+    corrs = None
+    for _ in range(3):
+        t1, _ = run(iters[0])
+        t2, corrs = run(iters[1])
+        slope = (t2 - t1) / (iters[1] - iters[0])
+        if slope > 0:
+            per_steps.append(slope)
+    per_step = min(per_steps) if per_steps else float("nan")
     return {
         "fps": round(batch / per_step, 1),
         "ms_per_frame": round(1e3 * per_step / batch, 4),
