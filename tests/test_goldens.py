@@ -1,0 +1,54 @@
+"""Golden regression tests on the reference's bundled sample fixtures.
+
+The reference ships sample PNGs with exactly-matching watermark ``.dat``
+files (512^2, 480p, 720p — ``samples/make_w.bat``, seed 28390211). The
+goldens in ``goldens.json`` are this framework's own XLA-oracle outputs,
+recorded once (provenance: generated on the CPU backend, jax 0.9) — they pin
+the full embed->detect numerics (strengths to 1e-4 relative, correlations to
+2e-4 absolute, which also brackets the Pallas path) so any semantic
+regression in masks, solve, embedding or detection trips these tests.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import pytest
+
+from watermarking_gpu_tpu.io import load_image_rgb, load_watermark
+from watermarking_gpu_tpu.ops import rgb_to_gray, strength_factor
+from watermarking_gpu_tpu.ops.pipelines import detect_pipeline, embed_pipeline
+
+SAMPLES = "/root/reference/Watermark_GPU/samples"
+CASES = {
+    "512": (f"{SAMPLES}/images/512.png", f"{SAMPLES}/w_512.dat", 512, 512),
+    "480p": (f"{SAMPLES}/images/480p.png", f"{SAMPLES}/w_480p.dat", 480, 720),
+    "720p": (f"{SAMPLES}/images/720p.png", f"{SAMPLES}/w_720p.dat",
+             720, 1280),
+}
+
+GOLDENS = json.load(open(os.path.join(os.path.dirname(__file__),
+                                      "goldens.json")))
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES),
+                    reason="reference samples unavailable")
+@pytest.mark.parametrize("name", list(CASES))
+@pytest.mark.parametrize("mask_type", ["nvf", "me"])
+def test_bundled_sample_goldens(name, mask_type):
+    img_path, wm_path, rows, cols = CASES[name]
+    rgb = jnp.asarray(load_image_rgb(img_path))
+    gray = rgb_to_gray(rgb)
+    watermark = jnp.asarray(load_watermark(wm_path, rows, cols))
+    sf = strength_factor(40.0)
+
+    marked, strength = embed_pipeline(gray, rgb, watermark, sf, mask_type,
+                                      impl="xla")
+    corr = detect_pipeline(rgb_to_gray(marked), watermark, mask_type,
+                           impl="xla")
+    clean = detect_pipeline(gray, watermark, mask_type, impl="xla")
+
+    want = GOLDENS[name][mask_type]
+    assert float(strength) == pytest.approx(want["strength"], rel=1e-4)
+    assert float(corr) == pytest.approx(want["correlation"], abs=2e-4)
+    assert float(clean) == pytest.approx(want["clean_correlation"], abs=2e-4)
