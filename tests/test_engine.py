@@ -99,3 +99,33 @@ def test_reinitialize(small_image, small_watermark):
     wm.reinitialize(small_watermark, *small_image.shape)
     corr = float(wm.detect(small_image, MaskType.ME))
     assert np.isfinite(corr)
+
+
+def test_engine_pallas_impl_matches_xla(small_image, small_watermark):
+    """Engine-level parity: the fused Pallas path (interpreter on CPU)
+    reproduces the XLA oracle through the public API."""
+    h, w = small_image.shape
+    ex = Watermark(h, w, small_watermark, p=3, psnr=40.0, impl="xla")
+    ep = Watermark(h, w, small_watermark, p=3, psnr=40.0, impl="pallas")
+    for mask_type in (MaskType.NVF, MaskType.ME):
+        ox, sx = ex.embed(small_image, mask_type=mask_type)
+        op, sp = ep.embed(small_image, mask_type=mask_type)
+        assert float(sp) == pytest.approx(float(sx), rel=2e-4)
+        np.testing.assert_allclose(np.asarray(op), np.asarray(ox), atol=0.1)
+        cx = float(ex.detect(np.asarray(ox), mask_type))
+        cp = float(ep.detect(np.asarray(ox), mask_type))
+        assert cp == pytest.approx(cx, abs=2e-4)
+
+
+def test_detection_survives_u8_quantization(small_image, small_watermark):
+    """The video path stores watermarked luma as u8 (truncating cast,
+    main.cpp:356); detection must survive the quantization."""
+    h, w = small_image.shape
+    eng = Watermark(h, w, small_watermark, p=3, psnr=32.0, impl="xla")
+    marked, _ = eng.embed(small_image, mask_type=MaskType.ME)
+    quantized = np.asarray(marked).astype(np.uint8).astype(np.float32)
+    corr_q = float(eng.detect(quantized, MaskType.ME))
+    corr_f = float(eng.detect(np.asarray(marked), MaskType.ME))
+    clean = float(eng.detect(small_image, MaskType.ME))
+    assert corr_q > clean + 0.15
+    assert abs(corr_q - corr_f) < 0.1

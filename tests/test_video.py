@@ -105,3 +105,10 @@ def test_missing_raw_size_errors(clip):
     s = make_settings(root, clip_path, wm_path, raw_video_size="")
     with pytest.raises(RuntimeError, match="raw_video_size"):
         detect_video(s, out=io.StringIO())
+
+
+def test_odd_dimensions_rejected(clip):
+    root, clip_path, wm_path = clip
+    s = make_settings(root, clip_path, wm_path, raw_video_size="127x95")
+    with pytest.raises(RuntimeError, match="even frame dimensions"):
+        detect_video(s, out=io.StringIO())

@@ -49,6 +49,10 @@ class FrameSource:
                     "[parameters_video]")
             w, h = settings.raw_video_size.lower().split("x")
             self.width, self.height = int(w), int(h)
+            if self.width % 2 or self.height % 2:
+                raise RuntimeError(
+                    "yuv420p requires even frame dimensions, got "
+                    f"{self.width}x{self.height}")
             self.fps = settings.raw_video_fps
             self._file = open(path, "rb")
             fd = self._file.fileno()
