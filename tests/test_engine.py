@@ -129,3 +129,23 @@ def test_detection_survives_u8_quantization(small_image, small_watermark):
     clean = float(eng.detect(small_image, MaskType.ME))
     assert corr_q > clean + 0.15
     assert abs(corr_q - corr_f) < 0.1
+
+
+def test_me_requires_p3(small_image, small_watermark):
+    h, w = small_image.shape
+    eng = Watermark(h, w, small_watermark, p=5, psnr=40.0, impl="xla")
+    # NVF works at p=5
+    _, s = eng.embed(small_image, mask_type=MaskType.NVF)
+    assert float(s) > 0
+    with pytest.raises(ValueError, match="requires p=3"):
+        eng.embed(small_image, mask_type=MaskType.ME)
+    with pytest.raises(ValueError, match="requires p=3"):
+        eng.detect(small_image, MaskType.ME)
+
+
+def test_warmup(small_image, small_watermark):
+    h, w = small_image.shape
+    eng = Watermark(h, w, small_watermark, p=3, psnr=40.0, impl="xla")
+    eng.warmup(channels=3)
+    assert ("embed", MaskType.ME, "xla") in eng._fn_cache
+    assert ("detect", MaskType.NVF, "xla") in eng._fn_cache

@@ -57,3 +57,29 @@ def test_service_close_rejects(engine, frames):
     service.close()
     with pytest.raises(RuntimeError):
         service.submit(frames[0])
+
+
+def test_concurrent_submitters(engine, frames):
+    """submit() is safe from multiple threads."""
+    import threading
+
+    service = DetectorService(engine, batch_size=4)
+    results = {}
+
+    def worker(tid):
+        futs = [(i, service.submit(frames[i % len(frames)]))
+                for i in range(tid, 20, 4)]
+        for i, f in futs:
+            results[(tid, i)] = f.result(timeout=60)
+
+    try:
+        threads = [threading.Thread(target=worker, args=(t,))
+                   for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        service.close()
+    assert len(results) == 20
+    assert all(np.isfinite(v) for v in results.values())

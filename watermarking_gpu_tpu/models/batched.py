@@ -49,6 +49,7 @@ class BatchedWatermark(Watermark):
     def embed(self, images, outputs=None,
               mask_type: "MaskType | str" = MaskType.ME):
         mask_type = MaskType.parse(mask_type)
+        self._check_me_window(mask_type)
         images = jnp.asarray(images, dtype=jnp.float32)
         self._check_dims(images[0])
         outputs = images if outputs is None else jnp.asarray(
@@ -64,6 +65,7 @@ class BatchedWatermark(Watermark):
 
     def detect(self, images, mask_type: "MaskType | str" = MaskType.ME):
         mask_type = MaskType.parse(mask_type)
+        self._check_me_window(mask_type)
         images = jnp.asarray(images, dtype=jnp.float32)
         self._check_dims(images[0])
         key = ("batch_detect", mask_type, self.impl)

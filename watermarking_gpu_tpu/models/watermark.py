@@ -114,6 +114,20 @@ class Watermark:
 
     # -- public API ---------------------------------------------------------
 
+    def warmup(self, channels: int = 0) -> None:
+        """Pre-compile both mask types (serving cold-start avoidance).
+
+        channels=3 additionally warms the RGB-output embed variant.
+        """
+        import numpy as np
+
+        gray = np.zeros((self.rows, self.cols), dtype=np.float32)
+        for mask_type in (MaskType.NVF, MaskType.ME):
+            out = gray if channels == 0 else np.zeros(
+                (self.rows, self.cols, channels), dtype=np.float32)
+            jax.block_until_ready(self.embed(gray, out, mask_type)[0])
+            jax.block_until_ready(self.detect(gray, mask_type))
+
     def embed(self, image, output=None,
               mask_type: "MaskType | str" = MaskType.ME):
         """Embed the watermark computed from grayscale `image` into `output`.
@@ -123,6 +137,7 @@ class Watermark:
         strength is a 0-d array (call float() to sync).
         """
         mask_type = MaskType.parse(mask_type)
+        self._check_me_window(mask_type)
         self._check_dims(image)
         image = jnp.asarray(image, dtype=jnp.float32)
         output = image if output is None else jnp.asarray(output,
@@ -134,9 +149,18 @@ class Watermark:
     def detect(self, image, mask_type: "MaskType | str" = MaskType.ME):
         """Detector correlation of a grayscale image (0-d device array)."""
         mask_type = MaskType.parse(mask_type)
+        self._check_me_window(mask_type)
         self._check_dims(image)
         image = jnp.asarray(image, dtype=jnp.float32)
         return self._detect_fn(mask_type)(image, self.random_matrix)
+
+    def _check_me_window(self, mask_type: MaskType) -> None:
+        """The prediction-error mask is defined for p=3 (8-tap predictor),
+        like the reference (main.cpp:88-89: 'only p=3 is allowed')."""
+        if mask_type is MaskType.ME and self.p != 3:
+            raise ValueError(
+                f"The prediction-error (ME) mask requires p=3, engine has "
+                f"p={self.p}; NVF supports p in {_VALID_P}.")
 
     def _check_dims(self, image) -> None:
         if image.shape[:2] != (self.rows, self.cols):
