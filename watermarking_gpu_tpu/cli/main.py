@@ -64,6 +64,24 @@ def test_for_image(settings: Settings) -> int:
     jax.block_until_ready(engine.embed(image, rgb, MaskType.ME)[0])
 
     def timed(fn):
+        """Average seconds per call over `loops` iterations.
+
+        Pipelined mode (default) dispatches every iteration and synchronizes
+        once via a real D2H pull — on a single in-order device queue the
+        total window equals the sum of all executions, so the average is the
+        true device time per call. Blocking mode reproduces the reference's
+        per-call sync loop (main.cpp:175-181), which on a remote/tunneled
+        device measures host round-trips instead.
+        """
+        if settings.pipelined_timing:
+            result = fn()  # ensure compiled/dispatch warm inside window
+            np.asarray(jax.tree.leaves(result)[-1])
+            timer.start()
+            for _ in range(loops):
+                result = fn()
+            np.asarray(jax.tree.leaves(result)[-1])
+            timer.end()
+            return result, timer.elapsed_seconds / loops
         total = 0.0
         result = None
         for _ in range(loops):

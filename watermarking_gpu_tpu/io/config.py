@@ -32,6 +32,9 @@ class Settings:
     device: int = 0
     save_watermarked_files_to_disk: bool = False
     execution_time_in_fps: bool = False
+    # extension: time the benchmark loops with pipelined dispatch + one sync
+    # (true device time) instead of the reference's per-call blocking loop
+    pipelined_timing: bool = True
     # [parameters]
     p: int = -1
     psnr: float = -1.0
@@ -92,6 +95,8 @@ def load_settings(path: str | os.PathLike = "settings.ini") -> Settings:
         s.save_watermarked_files_to_disk)
     s.execution_time_in_fps = _get(
         parser, "options", "execution_time_in_fps", s.execution_time_in_fps)
+    s.pipelined_timing = _get(parser, "options", "pipelined_timing",
+                              s.pipelined_timing)
     s.p = _get(parser, "parameters", "p", s.p)
     s.psnr = _get(parser, "parameters", "psnr", s.psnr)
     s.loops_for_test = _get(parser, "parameters", "loops_for_test",
