@@ -122,3 +122,17 @@ def test_hybrid_dp_sp_matches_single(frames, watermark32):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
                                atol=2e-3)
+
+
+@pytest.mark.parametrize("mask_type", ["me", "nvf"])
+def test_spatial_pallas_analysis_matches_single(frames, watermark32,
+                                                mask_type):
+    """Per-shard Pallas Gram kernel + psum reproduces the single-device
+    detector (halo seams spliced into the kernel padding)."""
+    mesh = make_mesh(data=1, space=4)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref = detect_pipeline(img, wm, mask_type)
+    fn = make_spatial_detect(mesh, mask_type, impl="pallas")
+    got = fn(shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref), atol=2e-4)

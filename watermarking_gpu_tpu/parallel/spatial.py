@@ -80,9 +80,26 @@ def _nvf_local(img: jnp.ndarray, p: int) -> jnp.ndarray:
     return variance / (1.0 + variance)
 
 
-def _analysis_local(img: jnp.ndarray):
-    """Global Rx/rx via local MXU matmuls + psum, then a replicated solve."""
+def _analysis_local(img: jnp.ndarray, impl: str = "xla"):
+    """Global Rx/rx from per-shard partials + psum, then a replicated solve.
+
+    impl="pallas" runs the fused Gram strip kernel on each shard: the halo
+    rows exchanged over ICI are spliced into the kernel's padding region so
+    shard seams see true neighbors, and the kernel's own bottom-row masking
+    keeps each center counted exactly once; the 9x9 partials then psum.
+    """
     h, w = img.shape
+    if impl == "pallas":
+        from ..ops.pallas.common import pick_strip_for_width
+        from ..ops.pallas.me_kernel import PAD, me_gram_padded
+
+        strip, rows_padded = pick_strip_for_width(h, w, 130_000, PAD)
+        ext = exchange_row_halo(img, 1)                  # (h+2, W), true seams
+        img_p = jnp.pad(ext, ((PAD - 1, PAD - 1 + rows_padded - h),
+                              (PAD, PAD)), mode="edge")
+        gram = me_gram_padded(img_p[None], h, w, PAD, strip, rows_padded)[0]
+        gram = lax.psum(gram, SPACE_AXIS)
+        return solve_coefficients(gram[:8, :8], gram[:8, 8])
     neighbors = _local_neighbors(img).reshape(8, -1)
     center = img.reshape(-1)
     rx_matrix = lax.psum(
@@ -100,8 +117,8 @@ def _predict_local(img: jnp.ndarray, coefficients: jnp.ndarray) -> jnp.ndarray:
 
 
 def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
-                  p: int) -> jnp.ndarray:
-    coefficients, valid = _analysis_local(img)
+                  p: int, impl: str = "xla") -> jnp.ndarray:
+    coefficients, valid = _analysis_local(img, impl)
     e_z = img - _predict_local(img, coefficients)
     if mask_type == "me":
         abs_err = jnp.abs(e_z)
@@ -119,9 +136,10 @@ def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
 
 def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
                  watermark: jnp.ndarray, strength_factor_value: float,
-                 mask_type: str, p: int, total_pixels: int):
+                 mask_type: str, p: int, total_pixels: int,
+                 impl: str = "xla"):
     if mask_type == "me":
-        coefficients, valid = _analysis_local(img)
+        coefficients, valid = _analysis_local(img, impl)
         e = img - _predict_local(img, coefficients)
         abs_err = jnp.abs(e)
         mask = abs_err / lax.pmax(jnp.max(abs_err), SPACE_AXIS)
@@ -139,11 +157,15 @@ def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
     return watermarked, jnp.where(valid, strength, 0.0)
 
 
-def make_spatial_detect(mesh, mask_type: str, p: int = 3):
-    """jit-compiled row-sharded detect: (H, W) image, (H, W) W -> scalar."""
+def make_spatial_detect(mesh, mask_type: str, p: int = 3,
+                        impl: str = "xla"):
+    """jit-compiled row-sharded detect: (H, W) image, (H, W) W -> scalar.
+
+    impl="pallas" runs the fused Gram kernel per shard (analysis stage).
+    """
     row_sharded = P(SPACE_AXIS, None)
     fn = shard_map(
-        partial(_detect_shard, mask_type=mask_type, p=p),
+        partial(_detect_shard, mask_type=mask_type, p=p, impl=impl),
         mesh=mesh, in_specs=(row_sharded, row_sharded), out_specs=P(),
         check_vma=False)
     return jax.jit(fn)
@@ -151,14 +173,14 @@ def make_spatial_detect(mesh, mask_type: str, p: int = 3):
 
 def make_spatial_embed(mesh, mask_type: str, strength_factor_value: float,
                        rows: int, cols: int, p: int = 3,
-                       channels: bool = False):
+                       channels: bool = False, impl: str = "xla"):
     """jit-compiled row-sharded embed -> (watermarked, strength)."""
     row_sharded = P(SPACE_AXIS, None)
     out_sharded = P(SPACE_AXIS, None, None) if channels else row_sharded
     fn = shard_map(
         partial(_embed_shard, mask_type=mask_type, p=p,
                 strength_factor_value=strength_factor_value,
-                total_pixels=rows * cols),
+                total_pixels=rows * cols, impl=impl),
         mesh=mesh, in_specs=(row_sharded, out_sharded, row_sharded),
         out_specs=(out_sharded, P()), check_vma=False)
     return jax.jit(fn)
