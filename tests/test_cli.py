@@ -130,3 +130,27 @@ def test_display_array(tmp_path, rng):
     assert os.path.exists(path)
     from PIL import Image
     assert Image.open(path).size == (48, 32)
+
+
+def test_robustness_tool(tmp_path, rng, capsys):
+    import sys
+    sys.path.insert(0, "tools")
+    from PIL import Image
+    img = np.clip(rng.normal(128, 40, (96, 128)), 0, 255).astype(np.uint8)
+    path = tmp_path / "img.png"
+    Image.fromarray(img).save(path)
+    import evaluate_robustness
+    assert evaluate_robustness.main.__module__  # imported fine
+    old_argv = sys.argv
+    sys.argv = ["evaluate_robustness.py", str(path), "--psnr", "35"]
+    try:
+        assert evaluate_robustness.main() == 0
+    finally:
+        sys.argv = old_argv
+    out = capsys.readouterr().out
+    assert "gaussian noise" in out and "jpeg q=90" in out
+    # the unattacked mark must correlate far above the clean image
+    lines = {l.rsplit(None, 1)[0].strip(): float(l.rsplit(None, 1)[1])
+             for l in out.splitlines() if l.strip().endswith(tuple("0123456789"))
+             and ("+" in l or "-" in l.rsplit(None, 1)[-1])}
+    assert lines["none"] > lines["clean image (no mark)"] + 0.1
