@@ -100,3 +100,24 @@ def test_rgb_to_gray_bt601():
     gray = np.asarray(ops.rgb_to_gray(jnp.asarray(rgb)))
     np.testing.assert_allclose(
         gray[0], [255 * 0.299, 255 * 0.587, 255 * 0.114, 255.0], rtol=1e-5)
+
+
+def test_spd_solver_matches_lu(small_image):
+    rx_m, rx_v = ops.me_normal_equations(jnp.asarray(small_image))
+    from watermarking_gpu_tpu.ops.me import solve_coefficients_spd
+    c_lu, v_lu = ops.solve_coefficients(rx_m, rx_v)
+    c_ch, v_ch = solve_coefficients_spd(rx_m, rx_v)
+    assert bool(v_lu) and bool(v_ch)
+    np.testing.assert_allclose(np.asarray(c_ch), np.asarray(c_lu),
+                               rtol=1e-3, atol=1e-5)
+    # batched
+    batch_m = jnp.stack([rx_m, rx_m * 2.0])
+    batch_v = jnp.stack([rx_v, rx_v * 2.0])
+    c_b, v_b = solve_coefficients_spd(batch_m, batch_v)
+    assert c_b.shape == (2, 8) and bool(v_b.all())
+    np.testing.assert_allclose(np.asarray(c_b[0]), np.asarray(c_ch),
+                               rtol=1e-5)
+    # singular -> invalid, zeros
+    c_s, v_s = solve_coefficients_spd(jnp.zeros((8, 8)), jnp.ones(8))
+    assert not bool(v_s)
+    assert np.all(np.asarray(c_s) == 0.0)

@@ -70,6 +70,49 @@ def solve_coefficients(rx_matrix: jnp.ndarray,
     return coefficients, valid
 
 
+def solve_coefficients_spd(rx_matrix: jnp.ndarray,
+                           rx_vector: jnp.ndarray
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Unrolled batched 8x8 Cholesky solve for the SPD Gram system.
+
+    LAPACK-style LU (jnp.linalg.solve) costs ~0.6 ms per batched call on
+    TPU — scalar-heavy pivoting. Rx is a Gram matrix, so an unrolled
+    Cholesky in plain (B,)-vector arithmetic compiles to a handful of fused
+    elementwise ops. Singularity surfaces exactly like the LU path: a zero
+    or negative pivot produces NaN/Inf, reduced to the per-image ``valid``
+    flag (the reference's solve-throw contract, Watermark.cpp:202-207).
+    """
+    n = 8
+    a = [[rx_matrix[..., i, j] for j in range(n)] for i in range(n)]
+    lower = [[None] * n for _ in range(n)]
+    for j in range(n):
+        diag = a[j][j] - sum((lower[j][k] * lower[j][k] for k in range(j)),
+                             start=jnp.zeros_like(a[j][j]))
+        lower[j][j] = jnp.sqrt(diag)
+        inv_diag = 1.0 / lower[j][j]
+        for i in range(j + 1, n):
+            off = a[i][j] - sum((lower[i][k] * lower[j][k] for k in range(j)),
+                                start=jnp.zeros_like(a[i][j]))
+            lower[i][j] = off * inv_diag
+    # forward substitution L y = rx
+    y = []
+    for i in range(n):
+        y.append((rx_vector[..., i]
+                  - sum((lower[i][k] * y[k] for k in range(i)),
+                        start=jnp.zeros_like(rx_vector[..., i])))
+                 / lower[i][i])
+    # back substitution L^T x = y
+    x: list = [None] * n
+    for i in reversed(range(n)):
+        x[i] = (y[i] - sum((lower[k][i] * x[k] for k in range(i + 1, n)),
+                           start=jnp.zeros_like(y[i]))) / lower[i][i]
+    coefficients = jnp.stack(x, axis=-1)
+    valid = jnp.all(jnp.isfinite(coefficients), axis=-1)
+    coefficients = jnp.where(valid[..., None], coefficients,
+                             jnp.zeros_like(coefficients))
+    return coefficients, valid
+
+
 def predict(image: jnp.ndarray, coefficients: jnp.ndarray) -> jnp.ndarray:
     """8-tap linear prediction of each pixel from its clamped neighbors."""
     neighbors = neighbor_stack(image)

@@ -1,18 +1,32 @@
 """Fused prediction-error normal-equation (Rx/rx) Pallas kernel.
 
-One pass over the image accumulates all 45 unique entries of the 9x9 Gram
-matrix of [8 clamped neighbors; center]. ``G[:8, :8]`` is Rx and ``G[:8, 8]``
-is rx — both reference reductions in a single fused pass
+One pass over the image accumulates the data for all 45 unique entries of
+the 9x9 Gram matrix of [8 clamped neighbors; center]. ``G[:8, :8]`` is Rx
+and ``G[:8, 8]`` is rx — both reference reductions in a single fused pass
 (``/root/reference/Watermark_GPU/kernels/me_p3.hpp:8-21,59-82`` staged these
 as fp16 workgroup partials; here everything stays f32, strictly more
 precise).
 
-Reduction strategy (chosen by measurement over MXU-reshape and full-tree
-variants): each pair's product reduces over sublanes only (a cheap axis-0
-reduction) into a (W,)-lane partial accumulated in a (48, W) output block
-that lives in VMEM across the sequential strip grid; the final lane
-reduction and the scatter into the symmetric 9x9 happen in XLA on the tiny
-(45, W) result. No in-kernel scalar reduction trees.
+Algorithm (lag decomposition — measured ~1.7x fewer full-plane VPU ops than
+the direct 45-pair form):
+
+* Pair sums group by relative lag d = off_b - off_a (25 distinct): every
+  pair at lag d sums the SAME product plane Q_d[y] = P[y] * P[y+d] over a
+  window that differs from the base window (rows [0,H), cols [-1,W+1)) only
+  by a +/-1 shift.
+* The kernel computes, per lag, one product + one sublane reduction into a
+  (32, W+2) lane-partial block that lives in VMEM across the sequential
+  strip grid (bottom-strip rows masked so padded rows never count).
+* XLA assembles each pair's window by inclusion-exclusion: lane windows of
+  the exported partials give the column shifts; boundary-row terms
+  (global rows -1, 0, H-1, H of Q_d) are recomputed directly from the
+  padded image — O(W) work per lag, negligible. Rows that out-of-window
+  pairs must not count cancel exactly between the base and the row
+  corrections, which also neutralizes the clamp-replicated +/-2 rows.
+
+No in-kernel scalar reduction trees, no per-pair row operations (a previous
+in-kernel variant of these corrections ran at 1/8 sublane utilization and
+won nothing).
 """
 
 from __future__ import annotations
@@ -32,38 +46,92 @@ PAD = 4
 _OFFSETS = tuple(NEIGHBOR_OFFSETS) + ((0, 0),)  # 8 neighbors then center
 _PAIRS = [(a, b) for a in range(9) for b in range(a, 9)]  # 45 unique entries
 
-# symmetric pair -> flat partial-row index
-_PAIR_INDEX = np.zeros((9, 9), dtype=np.int32)
-for _idx, (_a, _b) in enumerate(_PAIRS):
-    _PAIR_INDEX[_a, _b] = _idx
-    _PAIR_INDEX[_b, _a] = _idx
+# 25 distinct lags; pair -> (lag index, window offset = off_a)
+_LAGS: list[tuple[int, int]] = []
+_PAIR_PLAN: list[tuple[int, int, tuple[int, int], tuple[int, int]]] = []
+for _a, _b in _PAIRS:
+    _da, _db = _OFFSETS[_a], _OFFSETS[_b]
+    _lag = (_db[0] - _da[0], _db[1] - _da[1])
+    if _lag not in _LAGS:
+        _LAGS.append(_lag)
+    _PAIR_PLAN.append((_a, _b, _lag, _da))
 
 
 def _me_gram_kernel(pin, pout, *, pad: int, strip: int, width: int,
                     rows: int):
     ext = pin[0]
     strip_index = pl.program_id(1)
+    wspan = width + 2
+    col0 = pad - 1  # lane 0 of the partials is image column -1
 
     # mask rows beyond the true image (bottom padding of the last strip):
     # they replicate the edge and must not count as centers
     global_row = (strip_index * strip
-                  + jax.lax.broadcasted_iota(jnp.int32, (strip, width), 0))
+                  + jax.lax.broadcasted_iota(jnp.int32, (strip, wspan), 0))
     mask = (global_row < rows).astype(jnp.float32)
 
-    def plane(k):
-        dr, dc = _OFFSETS[k]
-        return ext[pad + dr : pad + dr + strip, pad + dc : pad + dc + width]
+    base = ext[pad : pad + strip, col0 : col0 + wspan] * mask
 
     @pl.when(strip_index == 0)
     def _():
         pout[0] = jnp.zeros_like(pout[0])
 
-    index = 0
-    for a in range(9):
-        pa = plane(a) * mask
-        for b in range(a, 9):
-            pout[0, index, :] += jnp.sum(pa * plane(b), axis=0)
-            index += 1
+    for index, (lag_r, lag_c) in enumerate(_LAGS):
+        shifted = ext[pad + lag_r : pad + lag_r + strip,
+                      col0 + lag_c : col0 + lag_c + wspan]
+        pout[0, index, :] += jnp.sum(base * shifted, axis=0)
+
+
+# symmetric pair -> position in the 45-value vector (for the final gather)
+_PAIR_INDEX = np.zeros((9, 9), dtype=np.int32)
+for _i, (_a, _b) in enumerate(_PAIRS):
+    _PAIR_INDEX[_a, _b] = _i
+    _PAIR_INDEX[_b, _a] = _i
+
+
+def _assemble_gram(partials: jnp.ndarray, img_p: jnp.ndarray, rows: int,
+                   cols: int, pad: int) -> jnp.ndarray:
+    """(B, 32, W+2) lane partials + padded image -> (B, 9, 9) Gram."""
+    col0 = pad - 1
+    wspan = cols + 2
+    window_cache: dict = {}
+    row_cache: dict = {}
+
+    def lane_window(key, vec, ac):  # (B, wspan) -> (B,), cols [ac, W+ac)
+        cached = window_cache.get((key, ac))
+        if cached is None:
+            cached = jnp.sum(vec[:, 1 + ac : 1 + ac + cols], axis=-1)
+            window_cache[(key, ac)] = cached
+        return cached
+
+    # boundary rows of each lag's product plane, from the padded image:
+    # global rows -1, 0, H-1, H live at img_p rows pad-1, pad, pad+H-1, pad+H
+    def q_row(k, lag):  # (B, wspan)
+        cached = row_cache.get((k, lag))
+        if cached is None:
+            lag_r, lag_c = lag
+            top = img_p[:, pad + k, col0 : col0 + wspan]
+            bottom = img_p[:, pad + k + lag_r,
+                           col0 + lag_c : col0 + lag_c + wspan]
+            cached = top * bottom
+            row_cache[(k, lag)] = cached
+        return cached
+
+    values = []
+    for a, b, lag, (ar, ac) in _PAIR_PLAN:
+        lag_index = _LAGS.index(lag)
+        value = lane_window(("p", lag_index), partials[:, lag_index], ac)
+        if ar == 1:       # window rows [1, H+1): + row H - row 0
+            value = value \
+                + lane_window(("q", rows, lag), q_row(rows, lag), ac) \
+                - lane_window(("q", 0, lag), q_row(0, lag), ac)
+        elif ar == -1:    # window rows [-1, H-1): + row -1 - row H-1
+            value = value \
+                + lane_window(("q", -1, lag), q_row(-1, lag), ac) \
+                - lane_window(("q", rows - 1, lag), q_row(rows - 1, lag), ac)
+        values.append(value)
+    stacked = jnp.stack(values, axis=-1)          # (B, 45)
+    return stacked[:, _PAIR_INDEX]                # (B, 9, 9) gather
 
 
 def me_gram_padded(img_p: jnp.ndarray, rows: int, cols: int, pad: int,
@@ -78,13 +146,12 @@ def me_gram_padded(img_p: jnp.ndarray, rows: int, cols: int, pad: int,
              pl.Element(cols + 2 * pad)),
             lambda b, i: (b, i * strip, 0),
             memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 48, cols), lambda b, i: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 32, cols + 2), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 48, cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, 32, cols + 2), jnp.float32),
         interpret=interpret_mode(),
     )(img_p)
-    sums = jnp.sum(partials[:, :45], axis=-1)        # (B, 45)
-    return sums[:, _PAIR_INDEX]                      # (B, 9, 9) gather
+    return _assemble_gram(partials, img_p, rows, cols, pad)
 
 
 @partial(jax.jit, static_argnames=("strip",))
@@ -95,7 +162,7 @@ def me_gram_pallas(image: jnp.ndarray,
     if squeeze:
         image = image[None]
     batch, rows, cols = image.shape
-    if strip is None:  # width-adaptive VMEM budget (ext + pair temporaries)
+    if strip is None:  # width-adaptive VMEM budget (ext + lag temporaries)
         strip, rows_padded = pick_strip_for_width(rows, cols, 130_000, PAD)
     else:
         strip, rows_padded = pick_strip(rows, strip)

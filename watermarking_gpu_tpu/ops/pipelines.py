@@ -91,7 +91,7 @@ def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
     """
     import math
 
-    from .me import solve_coefficients
+    from .me import solve_coefficients_spd
     from .pallas.fused import fused_embed_field_padded
     from .pallas.me_kernel import me_gram_padded
 
@@ -100,8 +100,8 @@ def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
     batch = img_p.shape[0]
     if mask_type == "me":
         gram = me_gram_padded(img_p, rows, cols, pad, strip, rows_padded)
-        coefficients, valid = solve_coefficients(gram[:, :8, :8],
-                                                 gram[:, :8, 8])
+        coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
+                                                     gram[:, :8, 8])
     else:
         coefficients = jnp.zeros((batch, 8), jnp.float32)
         valid = jnp.ones((batch,), dtype=bool)
@@ -158,15 +158,15 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     (Watermark.cpp:238-241). Returns 0.0 where the system is unsolvable.
     """
     if impl == "pallas":
-        from .me import solve_coefficients
+        from .me import solve_coefficients_spd
         from .pallas.fused import fused_detect_tail_padded
         from .pallas.me_kernel import me_gram_padded
 
         squeeze, img_p, wm_p, geo = _pad_once(image, watermark, mask_type, p)
         rows, cols, pad, strip, rows_padded = geo
         gram = me_gram_padded(img_p, rows, cols, pad, strip, rows_padded)
-        coefficients, valid = solve_coefficients(gram[:, :8, :8],
-                                                 gram[:, :8, 8])
+        coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
+                                                     gram[:, :8, 8])
         corr = fused_detect_tail_padded(
             img_p, wm_p, coefficients, rows, cols, pad, strip, rows_padded,
             mask_type, p)
