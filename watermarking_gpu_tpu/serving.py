@@ -79,11 +79,16 @@ class _BatchingService:
             return
         futures, frames = zip(*items)
         real = len(frames)
-        stack = np.stack(frames)
-        if real < self.batch_size:  # pad to the compiled batch shape
-            fill = np.repeat(stack[-1:], self.batch_size - real, axis=0)
-            stack = np.concatenate([stack, fill], axis=0)
-        device_result = self._run_batch(stack)   # async dispatch
+        try:
+            stack = np.stack(frames)
+            if real < self.batch_size:  # pad to the compiled batch shape
+                fill = np.repeat(stack[-1:], self.batch_size - real, axis=0)
+                stack = np.concatenate([stack, fill], axis=0)
+            device_result = self._run_batch(stack)   # async dispatch
+        except Exception as exc:  # trace/shape errors must not hang callers
+            for future in futures:
+                future.set_exception(exc)
+            return
         self._inflight.put((futures, device_result, real))
 
     def _collect_loop(self):

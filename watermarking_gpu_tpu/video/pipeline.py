@@ -145,25 +145,26 @@ def embed_video(settings: Settings, engine: Watermark | None = None,
         pending = None
 
     start = time.perf_counter()
-    while True:
-        frame = source.next()
-        if frame is None:
-            break
-        if frames % interval == 0:
-            flush_pending()     # collect the previous sampled frame first
-            luma = _luma_f32(frame, source.width, source.height)
-            marked, _ = engine.embed(luma, mask_type=MaskType.ME)
-            pending = (marked, frame)   # async: collected at next sample/EOF
-        elif pending is not None:
-            buffered.append(frame)      # must wait for the pending write
-        else:
-            sink.put(frame.tobytes())
-        frames += 1
-    flush_pending()
-    elapsed = time.perf_counter() - start
-
-    source.close()
-    sink.close()
+    try:
+        while True:
+            frame = source.next()
+            if frame is None:
+                break
+            if frames % interval == 0:
+                flush_pending()     # collect the previous sampled frame first
+                luma = _luma_f32(frame, source.width, source.height)
+                marked, _ = engine.embed(luma, mask_type=MaskType.ME)
+                pending = (marked, frame)  # async: collected at next sample/EOF
+            elif pending is not None:
+                buffered.append(frame)     # must wait for the pending write
+            else:
+                sink.put(frame.tobytes())
+            frames += 1
+        flush_pending()
+    finally:
+        elapsed = time.perf_counter() - start
+        source.close()
+        sink.close()
     print(f"\nWatermark embedding total execution time: "
           f"{execution_time(False, elapsed)}", file=out)
     return frames
@@ -205,22 +206,24 @@ def detect_video(settings: Settings, engine: BatchedWatermark | None = None,
                       file=out)
 
     start = time.perf_counter()
-    while True:
-        frame = source.next()
-        if frame is None:
-            break
-        if frames % interval == 0:
-            batch_ids.append(frames)
-            batch_lumas.append(
-                _luma_f32(frame, source.width, source.height))
-            if len(batch_lumas) >= batch_size:
-                dispatch()
-                collect()     # keep at most one batch in flight
-        frames += 1
-    dispatch()
-    collect(block_all=True)
-    elapsed = time.perf_counter() - start
-    source.close()
+    try:
+        while True:
+            frame = source.next()
+            if frame is None:
+                break
+            if frames % interval == 0:
+                batch_ids.append(frames)
+                batch_lumas.append(
+                    _luma_f32(frame, source.width, source.height))
+                if len(batch_lumas) >= batch_size:
+                    dispatch()
+                    collect()     # keep at most one batch in flight
+            frames += 1
+        dispatch()
+        collect(block_all=True)
+    finally:
+        elapsed = time.perf_counter() - start
+        source.close()
 
     print(f"\nWatermark detection total execution time: "
           f"{execution_time(False, elapsed)}", file=out)
