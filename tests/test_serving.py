@@ -83,3 +83,14 @@ def test_concurrent_submitters(engine, frames):
         service.close()
     assert len(results) == 20
     assert all(np.isfinite(v) for v in results.values())
+
+
+def test_dispatch_error_propagates(engine):
+    """A bad submission (wrong shape) must fail its future, not hang it."""
+    service = DetectorService(engine, batch_size=2, flush_timeout=0.01)
+    try:
+        bad = service.submit(np.zeros((7, 9), dtype=np.float32))
+        with pytest.raises(Exception):
+            bad.result(timeout=60)
+    finally:
+        service.close()
