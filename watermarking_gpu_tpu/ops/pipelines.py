@@ -34,12 +34,13 @@ ImplName = Literal["xla", "pallas"]
 
 
 def _analysis(image: jnp.ndarray, impl: ImplName):
-    """Rx/rx accumulation + solve. Returns (coefficients, valid)."""
-    if impl == "pallas":
-        from .pallas.me_kernel import me_normal_equations_pallas
-        rx_matrix, rx_vector = me_normal_equations_pallas(image)
-    else:
-        rx_matrix, rx_vector = me_normal_equations(image)
+    """Rx/rx accumulation + solve. Returns (coefficients, valid).
+
+    Only the XLA oracle path reaches this; the pallas pipelines run the
+    fused gram + SPD solve inline (they share the padded image).
+    """
+    del impl
+    rx_matrix, rx_vector = me_normal_equations(image)
     return solve_coefficients(rx_matrix, rx_vector)
 
 
