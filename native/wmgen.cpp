@@ -58,7 +58,7 @@ int main(int argc, char** argv) {
     const int threads = argc == 6 ? std::atoi(argv[5]) : 1;
     if (rows <= 0 || cols <= 0 || rows >= 32768 || cols >= 32768) {
         std::fprintf(stderr, "Rows and columns must be positive integers "
-                             "less than or equal to 32768.\n");
+                             "less than 32768.\n");
         return EXIT_FAILURE;
     }
     const size_t n = static_cast<size_t>(rows) * static_cast<size_t>(cols);

@@ -59,11 +59,70 @@ def test_cli_missing_settings(capsys):
 
 def test_cli_bad_p(tmp_path, ini, capsys):
     path, _ = ini
-    text = open(path).read().replace("p = 3", "p = 5")
+    text = open(path).read().replace("p = 3", "p = 4")
     bad = tmp_path / "bad.ini"
     bad.write_text(text)
     assert cli.main([str(bad)]) == 1
+    assert "p parameter must be one of 3, 5, 7, 9" in capsys.readouterr().out
+
+
+def test_cli_nvf_only_p5(tmp_path, ini, capsys):
+    """p in {5,7,9} runs the NVF-only image flow (ME needs p=3)."""
+    path, img_path = ini
+    text = open(path).read().replace("p = 3", "p = 5")
+    ini5 = tmp_path / "p5.ini"
+    ini5.write_text(text)
+    assert cli.main([str(ini5)]) == 0
+    out = capsys.readouterr().out
+    assert "running NVF-only tests" in out
+    assert "Correlation [NVF]:" in out
+    assert "Correlation [ME]:" not in out
+    root, ext = os.path.splitext(img_path)
+    assert os.path.exists(f"{root}_W_NVF{ext}")
+    assert not os.path.exists(f"{root}_W_ME{ext}")
+
+
+def test_cli_video_p5_rejected(tmp_path, rng, capsys):
+    """Video mode is ME-only, so p != 3 keeps the reference guard."""
+    from watermarking_gpu_tpu.video import synthesize
+    clip = tmp_path / "clip.yuv"
+    clip.write_bytes(synthesize(128, 96, 2, seed=1))
+    wm = tmp_path / "w.dat"
+    save_watermark(wm, rng.normal(size=(96, 128)).astype(np.float32))
+    ini = tmp_path / "v.ini"
+    ini.write_text(f"""
+[paths]
+video = {clip}
+watermark = {wm}
+
+[parameters]
+p = 5
+psnr = 40.0
+
+[parameters_video]
+watermark_detection = true
+raw_video_size = 128x96
+""")
+    assert cli.main([str(ini)]) == 1
     assert "only p=3" in capsys.readouterr().out
+
+
+def test_cli_image_too_wide(tmp_path, ini, capsys, rng):
+    """Widths beyond the fused kernels' VMEM strip budget are rejected
+    (the reference's texture-max guard, main.cpp:162)."""
+    from PIL import Image
+    from watermarking_gpu_tpu.ops.pallas.fused import max_supported_cols
+    wide_cols = max_supported_cols(p=3) + 2
+    img = np.zeros((64, wide_cols), dtype=np.uint8)
+    wide = tmp_path / "wide.png"
+    Image.fromarray(img).save(wide)
+    path, _ = ini
+    text = open(path).read()
+    text = text.replace(text.split("image = ")[1].split("\n")[0], str(wide))
+    bad = tmp_path / "wide.ini"
+    bad.write_text(text)
+    assert cli.main([str(bad)]) == 1
+    assert "Image dimensions too high" in capsys.readouterr().out
 
 
 def test_cli_bad_psnr(tmp_path, ini, capsys):

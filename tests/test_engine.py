@@ -92,6 +92,13 @@ def test_dimension_guards(small_image):
         Watermark(10, 10, 3, p=4)
     with pytest.raises(ValueError):
         Watermark(10, 10, 3, p=3, psnr=0.0)
+    # an RGB array passed as the grayscale analysis input must be rejected,
+    # not silently read as extra image columns
+    rgb = np.repeat(small_image[..., None], 3, axis=-1)
+    with pytest.raises(ValueError, match="grayscale"):
+        wm.embed(rgb)
+    with pytest.raises(ValueError, match="grayscale"):
+        wm.detect(rgb)
 
 
 def test_reinitialize(small_image, small_watermark):

@@ -140,7 +140,7 @@ echo '{{"streams": [{{"width": {W}, "height": {H}, "avg_frame_rate": "25/1"}}]}}
     return root, clip_path, wm_path
 
 
-def test_ffmpeg_subprocess_path(fake_ffmpeg, tmp_path):
+def test_ffmpeg_subprocess_path(fake_ffmpeg, tmp_path, capsys):
     """The ffmpeg decode/encode plumbing works end-to-end (stub binaries):
     probing geometry, reading rawvideo from the decoder pipe, writing
     watermarked yuv into the encoder's stdin."""
@@ -151,6 +151,10 @@ def test_ffmpeg_subprocess_path(fake_ffmpeg, tmp_path):
                              raw_video_size="")   # geometry via fake ffprobe
     frames = embed_video(settings, out=io.StringIO())
     assert frames == N_FRAMES
+    # the assembled encode command is echoed like the reference (main.cpp:290)
+    echoed = capsys.readouterr().out
+    assert "FFmpeg encode command:" in echoed
+    assert "-pix_fmt yuv420p" in echoed
     # the fake encoder writes the raw stream verbatim: compare to the
     # raw-yuv pipeline's output
     raw_out = str(root / "marked_ref.yuv")

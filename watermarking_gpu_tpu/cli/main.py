@@ -23,6 +23,11 @@ from ..ops import rgb_to_gray
 from ..utils.timing import Timer, execution_time
 
 MIN_DIM = 64  # main.cpp:161
+# max-dims guard (TPU analog of the reference's texture-size check,
+# main.cpp:162): width bound from the fused kernels' VMEM strip budget,
+# row bound from HBM (padded f32 copies of a 16384-row frame at max width
+# stay well under one v5e chip's 16 GB).
+MAX_ROWS = 16384
 
 
 def _select_device(index: int):
@@ -55,13 +60,22 @@ def test_for_image(settings: Settings) -> int:
     if rows < MIN_DIM or cols < MIN_DIM:
         print("Image dimensions too low")
         return 1
+    from ..ops.pallas.fused import max_supported_cols
+    if rows > MAX_ROWS or cols > max_supported_cols(p=settings.p):
+        print("Image dimensions too high for this device")
+        return 1
 
     engine = Watermark(rows, cols, settings.watermark, p=settings.p,
                        psnr=settings.psnr)
+    run_me = settings.p == 3  # the ME predictor is 8-tap (p=3 only)
+    if not run_me:
+        print("NOTE: the prediction-error (ME) mask requires p = 3; "
+              "running NVF-only tests\n")
 
     # warm-up (compilation) as the reference warms ArrayFire (main.cpp:168-170)
     jax.block_until_ready(engine.embed(image, rgb, MaskType.NVF)[0])
-    jax.block_until_ready(engine.embed(image, rgb, MaskType.ME)[0])
+    if run_me:
+        jax.block_until_ready(engine.embed(image, rgb, MaskType.ME)[0])
 
     def timed(fn):
         """Average seconds per call over `loops` iterations.
@@ -98,19 +112,21 @@ def test_for_image(settings: Settings) -> int:
           f"and parameters:\np = {settings.p}  PSNR(dB) = {settings.psnr}\n"
           f"{execution_time(show_fps, secs)}\n")
 
-    (watermark_me, strength_me), secs = timed(
-        lambda: engine.embed(image, rgb, MaskType.ME))
-    print(f"Watermark strength (parameter a): {float(strength_me)}\n"
-          f"Calculation of ME mask with {rows} rows and {cols} columns "
-          f"and parameters:\np = {settings.p}  PSNR(dB) = {settings.psnr}\n"
-          f"{execution_time(show_fps, secs)}\n")
+    if run_me:
+        (watermark_me, strength_me), secs = timed(
+            lambda: engine.embed(image, rgb, MaskType.ME))
+        print(f"Watermark strength (parameter a): {float(strength_me)}\n"
+              f"Calculation of ME mask with {rows} rows and {cols} columns "
+              f"and parameters:\np = {settings.p}  PSNR(dB) = {settings.psnr}\n"
+              f"{execution_time(show_fps, secs)}\n")
+        watermarked_me_gray = rgb_to_gray(watermark_me)
 
     watermarked_nvf_gray = rgb_to_gray(watermark_nvf)
-    watermarked_me_gray = rgb_to_gray(watermark_me)
 
     # warm-up detection
     jax.block_until_ready(engine.detect(watermarked_nvf_gray, MaskType.NVF))
-    jax.block_until_ready(engine.detect(watermarked_me_gray, MaskType.ME))
+    if run_me:
+        jax.block_until_ready(engine.detect(watermarked_me_gray, MaskType.ME))
 
     correlation_nvf, secs = timed(
         lambda: engine.detect(watermarked_nvf_gray, MaskType.NVF))
@@ -119,22 +135,26 @@ def test_for_image(settings: Settings) -> int:
           f"p = {settings.p}  PSNR(dB) = {settings.psnr}\n"
           f"{execution_time(show_fps, secs)}\n")
 
-    correlation_me, secs = timed(
-        lambda: engine.detect(watermarked_me_gray, MaskType.ME))
-    print(f"Calculation of the watermark correlation (ME) of an image "
-          f"with {rows} rows and {cols} columns and parameters:\n"
-          f"p = {settings.p}  PSNR(dB) = {settings.psnr}\n"
-          f"{execution_time(show_fps, secs)}\n")
+    if run_me:
+        correlation_me, secs = timed(
+            lambda: engine.detect(watermarked_me_gray, MaskType.ME))
+        print(f"Calculation of the watermark correlation (ME) of an image "
+              f"with {rows} rows and {cols} columns and parameters:\n"
+              f"p = {settings.p}  PSNR(dB) = {settings.psnr}\n"
+              f"{execution_time(show_fps, secs)}\n")
 
     print(f"Correlation [NVF]: {float(correlation_nvf):.16f}")
-    print(f"Correlation [ME]: {float(correlation_me):.16f}")
+    if run_me:
+        print(f"Correlation [ME]: {float(correlation_me):.16f}")
 
     if settings.save_watermarked_files_to_disk:
         print("\nSaving watermarked files to disk...")
         save_image_u8(add_suffix_before_extension(settings.image, "_W_NVF"),
                       np.asarray(watermark_nvf))
-        save_image_u8(add_suffix_before_extension(settings.image, "_W_ME"),
-                      np.asarray(watermark_me))
+        if run_me:
+            save_image_u8(add_suffix_before_extension(settings.image,
+                                                      "_W_ME"),
+                          np.asarray(watermark_me))
         print("Successfully saved to disk")
     return 0
 
@@ -148,15 +168,15 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Could not load {settings_path} file")
         return 1
 
-    _select_device(settings.device)
+    device = _select_device(settings.device)
 
-    if settings.p != 3 and not settings.is_video_mode:
-        # NVF supports p in {3,5,7,9}; ME (always benchmarked) requires 3,
-        # like the reference guard (main.cpp:88-89)
-        if settings.p not in (3, 5, 7, 9):
-            print("p parameter must be one of 3, 5, 7, 9")
-            return 1
-    if settings.p != 3:
+    if settings.p not in (3, 5, 7, 9):
+        print("p parameter must be one of 3, 5, 7, 9")
+        return 1
+    if settings.p != 3 and settings.is_video_mode:
+        # the video path embeds/detects with the ME mask, whose 8-tap
+        # predictor is p=3 only — the reference guard (main.cpp:88-89);
+        # image mode falls back to NVF-only tests for p in {5, 7, 9}
         print("For now, only p=3 is allowed")
         return 1
     if settings.psnr <= 0:
@@ -164,10 +184,13 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     try:
-        if settings.is_video_mode:
-            from ..video.pipeline import test_for_video
-            return test_for_video(settings)
-        return test_for_image(settings)
+        # actually honor the [options] device index (af::setDevice analog,
+        # main.cpp:73-77): computations and device_puts default to it
+        with jax.default_device(device):
+            if settings.is_video_mode:
+                from ..video.pipeline import test_for_video
+                return test_for_video(settings)
+            return test_for_image(settings)
     except Exception as exc:  # mirror the reference's catch-all (main.cpp:132)
         print(exc)
         return 1

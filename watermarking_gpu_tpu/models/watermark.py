@@ -163,7 +163,10 @@ class Watermark:
                 f"p={self.p}; NVF supports p in {_VALID_P}.")
 
     def _check_dims(self, image) -> None:
-        if image.shape[:2] != (self.rows, self.cols):
+        # exact shape: an RGB (H, W, 3) array passed as the grayscale
+        # analysis input would otherwise be silently treated as extra columns
+        if image.shape != (self.rows, self.cols):
             raise ValueError(
-                f"Image shape {image.shape[:2]} does not match engine dims "
-                f"({self.rows}, {self.cols}); call reinitialize().")
+                f"Analysis image must be grayscale ({self.rows}, "
+                f"{self.cols}), got shape {image.shape}; convert with "
+                f"rgb_to_gray() or call reinitialize().")

@@ -61,6 +61,18 @@ def pipeline_geometry(rows: int, cols: int, mask_type: str,
     return pad, strip, rows_padded
 
 
+def max_supported_cols(mask_type: str = "me", p: int = 3) -> int:
+    """Largest image width the fused strip kernels support.
+
+    The minimum 8-row strip (plus halos) must still fit the scoped-VMEM
+    budget — the TPU analog of the reference's texture-size guard
+    (``/root/reference/Watermark_GPU/main.cpp:162``,
+    CL_DEVICE_IMAGE2D_MAX_WIDTH).
+    """
+    pad = 4 if (mask_type == "me" or 1 + p // 2 <= 4) else 8
+    return SHARED_BUDGET // (8 + 2 * pad) - 2 * pad
+
+
 def _error_region(ext, coeffs, base, span, width):
     """e = center - sum_k c_k * neighbor_k over a (span, width) region whose
     top-left sits at (base, base) inside the padded strip."""

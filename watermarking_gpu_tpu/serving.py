@@ -36,6 +36,9 @@ class _BatchingService:
         self._submissions: queue.Queue = queue.Queue()
         self._inflight: queue.Queue = queue.Queue(maxsize=max_inflight)
         self._closed = False
+        # guards _closed vs submissions: a submit racing close() must not
+        # enqueue after the None sentinel (its future would never resolve)
+        self._close_lock = threading.Lock()
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._collector = threading.Thread(target=self._collect_loop,
@@ -111,18 +114,22 @@ class _BatchingService:
     # -- public -------------------------------------------------------------
 
     def submit(self, image: np.ndarray) -> Future:
-        if self._closed:
-            raise RuntimeError("service is closed")
-        future: Future = Future()
-        self._submissions.put((future, np.asarray(image, dtype=np.float32)))
+        frame = np.ascontiguousarray(image)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            future: Future = Future()
+            self._submissions.put((future, frame))
         return future
 
     def close(self):
-        if not self._closed:
+        with self._close_lock:
+            if self._closed:
+                return
             self._closed = True
             self._submissions.put(None)
-            self._dispatcher.join()
-            self._collector.join()
+        self._dispatcher.join()
+        self._collector.join()
 
 
 class DetectorService(_BatchingService):

@@ -89,4 +89,6 @@ def open_encoder(output_path: str, width: int, height: int, fps: float,
            + shlex.split(encode_options)
            + ["-c:s", "copy", "-c:a", "copy", "-map", "1:s?", "-map", "0:v",
               "-map", "1:a?", "-max_interleave_delta", "0", output_path])
+    # echo the assembled command like the reference (main.cpp:290)
+    print(f"\nFFmpeg encode command: {shlex.join(cmd)}\n")
     return subprocess.Popen(cmd, stdin=subprocess.PIPE)

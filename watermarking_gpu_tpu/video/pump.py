@@ -134,7 +134,13 @@ class FrameWriter:
             if data is None:
                 return
             try:
-                os.write(self._fd, data)
+                # loop on short writes (signal interruption mid-frame would
+                # silently desynchronize the yuv420p stream otherwise;
+                # mirrors write_full in native/wmpump.cpp)
+                view = memoryview(data)
+                while view:
+                    written = os.write(self._fd, view)
+                    view = view[written:]
             except OSError:
                 self._error = True
                 return
