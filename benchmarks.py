@@ -91,30 +91,118 @@ def measure_roundtrip(frames, watermark, mask_type, impl, iters=(6, 24)):
     }
 
 
-def video_detect_benchmark(rows=1080, cols=1920, interval=30, frames=300,
+def _slope(run, iters=(4, 12)):
+    """Per-iteration seconds via two-count slope, best of 3 (CLAUDE.md:
+    host syncs on the tunneled TPU cost ~30 ms; the slope cancels them)."""
+    estimates = []
+    for _ in range(3):
+        t1 = run(iters[0])
+        t2 = run(iters[1])
+        slope = (t2 - t1) / (iters[1] - iters[0])
+        if slope > 0:
+            estimates.append(slope)
+    return min(estimates) if estimates else float("nan")
+
+
+def video_detect_benchmark(rows=1080, cols=1920, interval=30, frames=2400,
                            batch=8):
-    """Throughput of interval-sampled batched detection (device side)."""
+    """Interval-sampled video detection with the real ingest path:
+    uint8 lumas over the link, cast on device, one batch kept in flight.
+
+    Reports an honest decomposition — end-to-end rate, device-only batch
+    time, u8 H2D transfer time — rather than one opaque number.
+    """
+    import jax
+
     from watermarking_gpu_tpu.models.batched import BatchedWatermark
 
     sampled = frames // interval
     rng = np.random.default_rng(0)
     lumas = np.clip(rng.normal(128, 40, (sampled, rows, cols)), 0,
-                    255).astype(np.float32)
+                    255).astype(np.uint8)
     engine = BatchedWatermark(rows, cols, 28390211, psnr=40.0)
-    first = engine.detect(lumas[:batch])
-    np.asarray(first)
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(0, sampled - batch + 1, batch):
-        outs.append(engine.detect(lumas[i:i + batch]))
-    pulled = [np.asarray(o) for o in outs]
-    elapsed = time.perf_counter() - t0
-    processed = sum(len(p) for p in pulled)
+    np.asarray(engine.detect(lumas[:batch]))   # compile + open D2H channel
+
+    # end-to-end: dispatch u8 batches, keep one in flight (pipeline.py's
+    # detect_video structure), count completed sampled detects
+    def run_e2e():
+        t0 = time.perf_counter()
+        pend = []
+        done = 0
+        for i in range(0, sampled - batch + 1, batch):
+            pend.append(engine.detect(lumas[i:i + batch]))
+            if len(pend) > 1:
+                done += len(np.asarray(pend.pop(0)))
+        for out in pend:
+            done += len(np.asarray(out))
+        return time.perf_counter() - t0, done
+
+    elapsed, done = min(run_e2e() for _ in range(3))
+
+    # device-only: repeated detects on resident data, slope over two counts
+    resident = jax.device_put(lumas[:batch])
+
+    def run_device(n):
+        out = None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = engine.detect(resident)
+        np.asarray(out)
+        return time.perf_counter() - t0
+
+    device_s = _slope(run_device)
+
+    # u8 H2D alone: device_put slope (each put moves batch*rows*cols bytes)
+    def run_h2d(n):
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(n):
+            outs.append(jax.device_put(lumas[(i % (sampled // batch)) * batch:][:batch]))
+        jax.block_until_ready(outs)
+        return time.perf_counter() - t0
+
+    h2d_s = _slope(run_h2d)
+
     return {
-        "video_frames_equivalent_fps": round(
-            processed * interval / elapsed, 1),
-        "sampled_detects_per_s": round(processed / elapsed, 1),
+        "sampled_detects_per_s": round(done / elapsed, 1),
+        "video_frames_equivalent_fps": round(done * interval / elapsed, 1),
+        "device_ms_per_batch": round(1e3 * device_s, 2),
+        "h2d_u8_ms_per_batch": round(1e3 * h2d_s, 2),
+        "batch": batch,
         "interval": interval,
+        "note": "e2e dispatches u8 batches with one in flight; device/h2d "
+                "rows are two-count slopes isolating the tunnel sync cost",
+    }
+
+
+def video_embed_benchmark(rows=1080, cols=1920, frames=240, batch=8):
+    """interval=1 video embedding (the reference's real embed workload,
+    main.cpp:343-389): u8 in, u8 out, one batch in flight."""
+    from watermarking_gpu_tpu.models.batched import BatchedWatermark
+
+    rng = np.random.default_rng(0)
+    lumas = np.clip(rng.normal(128, 40, (frames, rows, cols)), 0,
+                    255).astype(np.uint8)
+    engine = BatchedWatermark(rows, cols, 28390211, psnr=40.0)
+    np.asarray(engine.embed_luma_u8(lumas[:batch])[0])
+
+    def run():
+        t0 = time.perf_counter()
+        pend = []
+        done = 0
+        for i in range(0, frames - batch + 1, batch):
+            pend.append(engine.embed_luma_u8(lumas[i:i + batch])[0])
+            if len(pend) > 1:
+                done += len(np.asarray(pend.pop(0)))
+        for out in pend:
+            done += len(np.asarray(out))
+        return time.perf_counter() - t0, done
+
+    elapsed, done = min(run() for _ in range(3))
+    return {
+        "embed_fps_interval1": round(done / elapsed, 1),
+        "batch": batch,
+        "note": "end-to-end u8 ingest + u8 egress, one batch in flight",
     }
 
 
@@ -148,6 +236,9 @@ def main():
     report["results"]["video_detect_1080p"] = video_detect_benchmark()
     print("video_detect_1080p", report["results"]["video_detect_1080p"],
           flush=True)
+    report["results"]["video_embed_1080p_interval1"] = video_embed_benchmark()
+    print("video_embed_1080p_interval1",
+          report["results"]["video_embed_1080p_interval1"], flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

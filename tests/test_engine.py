@@ -138,6 +138,34 @@ def test_detection_survives_u8_quantization(small_image, small_watermark):
     assert abs(corr_q - corr_f) < 0.1
 
 
+def test_u8_ingest_matches_f32(small_image, small_watermark):
+    """uint8 inputs (video ingest: cast on device, 1 byte/px transfers)
+    produce bit-identical results to host-f32 inputs."""
+    from watermarking_gpu_tpu.models.batched import BatchedWatermark
+    h, w = small_image.shape
+    u8 = small_image.astype(np.uint8)
+    f32 = u8.astype(np.float32)
+    eng = Watermark(h, w, small_watermark, p=3, psnr=40.0, impl="xla")
+    assert float(eng.detect(u8, MaskType.ME)) == float(
+        eng.detect(f32, MaskType.ME))
+    m_u8, s_u8 = eng.embed(u8, mask_type=MaskType.ME)
+    m_f32, s_f32 = eng.embed(f32, mask_type=MaskType.ME)
+    np.testing.assert_array_equal(np.asarray(m_u8), np.asarray(m_f32))
+    assert float(s_u8) == float(s_f32)
+
+    # the u8-out video path truncates exactly like a host-side u8 cast
+    batched = BatchedWatermark(h, w, small_watermark, p=3, psnr=40.0,
+                               impl="xla")
+    stack = np.stack([u8, u8])
+    marked_u8, strengths = batched.embed_luma_u8(stack, MaskType.ME)
+    ref_f32, ref_s = batched.embed(stack.astype(np.float32),
+                                   mask_type=MaskType.ME)
+    np.testing.assert_array_equal(
+        np.asarray(marked_u8), np.asarray(ref_f32).astype(np.uint8))
+    np.testing.assert_allclose(np.asarray(strengths), np.asarray(ref_s))
+    assert np.asarray(marked_u8).dtype == np.uint8
+
+
 def test_me_requires_p3(small_image, small_watermark):
     h, w = small_image.shape
     eng = Watermark(h, w, small_watermark, p=5, psnr=40.0, impl="xla")

@@ -100,6 +100,57 @@ def test_embed_then_detect_video(clip):
     assert all(abs(c) < 0.2 for _, c in clean_results)
 
 
+def test_embed_interval_one_batched(clip, tmp_path):
+    """interval=1 (the reference's real embed workload) batches sampled
+    frames into one compiled dispatch shape — including the padded
+    remainder — and watermarks every frame."""
+    from watermarking_gpu_tpu.models import MaskType
+    from watermarking_gpu_tpu.models.batched import BatchedWatermark
+    root, clip_path, wm_path = clip
+    out_path = str(tmp_path / "marked_all.yuv")
+    settings = make_settings(root, clip_path, wm_path,
+                             watermark_interval=1, embed_batch=4,
+                             encode_watermark_file_path=out_path)
+    engine = BatchedWatermark(H, W, wm_path, p=3, psnr=30.0, impl="xla")
+    frames = embed_video(settings, engine=engine, out=io.StringIO())
+    assert frames == N_FRAMES
+    assert os.path.getsize(out_path) == N_FRAMES * frame_bytes(W, H)
+    # exactly one compiled program: 7 = 4 + 3(padded to 4)
+    fn = engine._fn_cache[("batch_embed_u8", MaskType.ME, "xla")]
+    assert fn._cache_size() == 1
+
+    original = np.frombuffer(open(clip_path, "rb").read(), dtype=np.uint8)
+    marked = np.frombuffer(open(out_path, "rb").read(), dtype=np.uint8)
+    fb = frame_bytes(W, H)
+    for i in range(N_FRAMES):
+        oy, ou, ov = split_planes(original[i * fb:(i + 1) * fb], W, H)
+        my, mu, mv = split_planes(marked[i * fb:(i + 1) * fb], W, H)
+        np.testing.assert_array_equal(ou, mu)
+        np.testing.assert_array_equal(ov, mv)
+        assert np.abs(oy.astype(int) - my.astype(int)).max() > 0, i
+
+    # every frame detects
+    det = make_settings(root, out_path, wm_path, watermark_interval=1,
+                        detect_batch=4)
+    _, results = detect_video(det, out=io.StringIO())
+    assert len(results) == N_FRAMES
+    assert all(c > 0.4 for _, c in results)
+
+
+def test_detect_remainder_batch_reuses_compile(clip):
+    """The final partial batch pads to the compiled (B, H, W) shape."""
+    from watermarking_gpu_tpu.models import MaskType
+    from watermarking_gpu_tpu.models.batched import BatchedWatermark
+    root, clip_path, wm_path = clip
+    settings = make_settings(root, clip_path, wm_path, watermark_interval=1,
+                             detect_batch=4)
+    engine = BatchedWatermark(H, W, wm_path, p=3, psnr=30.0, impl="xla")
+    n, results = detect_video(settings, engine=engine, out=io.StringIO())
+    assert n == N_FRAMES and len(results) == N_FRAMES   # 7 = 4 + 3 padded
+    fn = engine._fn_cache[("batch_detect", MaskType.ME, "xla")]
+    assert fn._cache_size() == 1
+
+
 def test_missing_raw_size_errors(clip):
     root, clip_path, wm_path = clip
     s = make_settings(root, clip_path, wm_path, raw_video_size="")

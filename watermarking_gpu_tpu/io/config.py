@@ -50,6 +50,8 @@ class Settings:
     raw_video_size: str = ""       # "WxH", required for .yuv inputs
     raw_video_fps: float = 30.0
     detect_batch: int = 8
+    embed_batch: int = 8           # sampled frames per embed dispatch (cap;
+    #                                host buffering bounds the effective size)
     # provenance
     source_path: str = field(default="", compare=False)
 
@@ -116,4 +118,6 @@ def load_settings(path: str | os.PathLike = "settings.ini") -> Settings:
                            s.raw_video_fps)
     s.detect_batch = _get(parser, "parameters_video", "detect_batch",
                           s.detect_batch)
+    s.embed_batch = _get(parser, "parameters_video", "embed_batch",
+                         s.embed_batch)
     return s

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.pipelines import detect_pipeline, embed_pipeline
 from .masks import MaskType
-from .watermark import Watermark
+from .watermark import Watermark, as_device_input
 
 
 def batch_embed(images: jnp.ndarray, outputs: jnp.ndarray,
@@ -43,6 +43,23 @@ def batch_detect(images: jnp.ndarray, watermark: jnp.ndarray,
                            impl=impl)
 
 
+def batch_embed_luma_u8(lumas: jnp.ndarray, watermark: jnp.ndarray,
+                        strength_factor_value: float, mask_type: str,
+                        p: int = 3, impl: str = "xla"
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Video ingest/egress path: (B, H, W) uint8 lumas in, uint8 out.
+
+    The u8->f32 widening and the truncating f32->u8 cast both happen on
+    device, so frames cross the host<->device link at 1 byte/pixel in each
+    direction — the reference's analog is the pinned-buffer upload +
+    ``.as(u8)`` download (``main.cpp:355,379``).
+    """
+    marked, strength = embed_pipeline(
+        lumas, lumas, watermark, strength_factor_value,
+        mask_type=mask_type, p=p, impl=impl)
+    return marked.astype(jnp.uint8), strength
+
+
 class BatchedWatermark(Watermark):
     """A ``Watermark`` engine whose embed/detect take (B, H, W) frame stacks."""
 
@@ -50,10 +67,9 @@ class BatchedWatermark(Watermark):
               mask_type: "MaskType | str" = MaskType.ME):
         mask_type = MaskType.parse(mask_type)
         self._check_me_window(mask_type)
-        images = jnp.asarray(images, dtype=jnp.float32)
+        images = as_device_input(images)
         self._check_dims(images[0])
-        outputs = images if outputs is None else jnp.asarray(
-            outputs, dtype=jnp.float32)
+        outputs = images if outputs is None else as_device_input(outputs)
         key = ("batch_embed", mask_type, self.impl)
         fn = self._fn_cache.get(key)
         if fn is None:
@@ -63,10 +79,28 @@ class BatchedWatermark(Watermark):
             self._fn_cache[key] = fn
         return fn(images, outputs, self.random_matrix)
 
+    def embed_luma_u8(self, lumas, mask_type: "MaskType | str" = MaskType.ME):
+        """(B, H, W) uint8 lumas -> (uint8 watermarked, strengths).
+
+        Transfers stay uint8 both ways (see batch_embed_luma_u8)."""
+        mask_type = MaskType.parse(mask_type)
+        self._check_me_window(mask_type)
+        lumas = jnp.asarray(lumas)
+        self._check_dims(lumas[0])
+        key = ("batch_embed_u8", mask_type, self.impl)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(partial(batch_embed_luma_u8,
+                                 mask_type=mask_type.value,
+                                 p=self.p, impl=self.impl,
+                                 strength_factor_value=self.strength_factor))
+            self._fn_cache[key] = fn
+        return fn(lumas, self.random_matrix)
+
     def detect(self, images, mask_type: "MaskType | str" = MaskType.ME):
         mask_type = MaskType.parse(mask_type)
         self._check_me_window(mask_type)
-        images = jnp.asarray(images, dtype=jnp.float32)
+        images = as_device_input(images)
         self._check_dims(images[0])
         key = ("batch_detect", mask_type, self.impl)
         fn = self._fn_cache.get(key)

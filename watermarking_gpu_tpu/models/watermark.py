@@ -30,6 +30,17 @@ from .masks import MaskType
 _VALID_P = (3, 5, 7, 9)
 
 
+def as_device_input(x) -> jnp.ndarray:
+    """Move an image to the device in its transfer dtype.
+
+    uint8 arrays stay uint8 so the host->device copy is 4x narrower (the
+    pipelines cast to f32 on device); everything else becomes f32 on the
+    host, preserving the previous semantics.
+    """
+    x = jnp.asarray(x)
+    return x if x.dtype == jnp.uint8 else x.astype(jnp.float32)
+
+
 def default_impl() -> str:
     """Pick the compute implementation for the current default backend."""
     if jax.default_backend() == "tpu":
@@ -139,9 +150,8 @@ class Watermark:
         mask_type = MaskType.parse(mask_type)
         self._check_me_window(mask_type)
         self._check_dims(image)
-        image = jnp.asarray(image, dtype=jnp.float32)
-        output = image if output is None else jnp.asarray(output,
-                                                          dtype=jnp.float32)
+        image = as_device_input(image)
+        output = image if output is None else as_device_input(output)
         return self._embed_fn(mask_type)(
             image, output, self.random_matrix,
             strength_factor_value=self.strength_factor)
@@ -151,8 +161,8 @@ class Watermark:
         mask_type = MaskType.parse(mask_type)
         self._check_me_window(mask_type)
         self._check_dims(image)
-        image = jnp.asarray(image, dtype=jnp.float32)
-        return self._detect_fn(mask_type)(image, self.random_matrix)
+        return self._detect_fn(mask_type)(as_device_input(image),
+                                          self.random_matrix)
 
     def _check_me_window(self, mask_type: MaskType) -> None:
         """The prediction-error mask is defined for p=3 (8-tap predictor),

@@ -33,6 +33,13 @@ MaskTypeName = Literal["nvf", "me"]
 ImplName = Literal["xla", "pallas"]
 
 
+def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side cast. Integer inputs (video lumas) cross the host->device
+    link 4x narrower as uint8 and widen to f32 here, inside jit — the TPU
+    answer to the reference's pinned staging buffer (main.cpp:273-275)."""
+    return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+
+
 def _analysis(image: jnp.ndarray, impl: ImplName):
     """Rx/rx accumulation + solve. Returns (coefficients, valid).
 
@@ -132,6 +139,7 @@ def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
     Returns (watermarked, strengths). On an unsolvable ME system the output
     is returned unmodified and strength is 0 (Watermark.cpp:164-165).
     """
+    image, output, watermark = map(_to_f32, (image, output, watermark))
     if impl == "pallas":
         return _embed_pipeline_fused(image, output, watermark,
                                      strength_factor_value, mask_type, p)
@@ -158,6 +166,7 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     coefficients and error sequence, with the NVF mask replacing the ME mask
     (Watermark.cpp:238-241). Returns 0.0 where the system is unsolvable.
     """
+    image, watermark = map(_to_f32, (image, watermark))
     if impl == "pallas":
         from .me import solve_coefficients_spd
         from .pallas.fused import fused_detect_tail_padded

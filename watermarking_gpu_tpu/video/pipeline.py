@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 from ..io.config import Settings
-from ..models import MaskType, Watermark
+from ..models import MaskType
 from ..models.batched import BatchedWatermark
 from ..utils.timing import execution_time
 from . import ffmpeg as ff
@@ -111,38 +111,64 @@ class FrameSink:
             self._file.close()
 
 
-def _luma_f32(frame: np.ndarray, width: int, height: int) -> np.ndarray:
-    luma, _, _ = split_planes(frame, width, height)
-    return luma.astype(np.float32)
+# host-side frame buffering allowed per in-flight embed batch: a batch of B
+# sampled frames spans B*interval stream frames, all held until its device
+# results land (at most two batches exist: one in flight, one accumulating)
+_EMBED_BATCH_BUDGET_BYTES = 128 * 1024 * 1024
 
 
-def embed_video(settings: Settings, engine: Watermark | None = None,
+def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
                 out=None) -> int:
-    """Watermark every interval-th frame; stream everything to the sink."""
+    """Watermark every interval-th frame; stream everything to the sink.
+
+    TPU-grade ingest (vs the reference's synchronous pinned-buffer loop,
+    ``main.cpp:343-389``): sampled lumas cross the link as uint8, batch into
+    one device dispatch each (``embed_luma_u8`` widens/truncates on device),
+    and one batch stays in flight while the next accumulates — transfer and
+    compute overlap, and at interval=1 the dispatch cost amortizes over
+    ``embed_batch`` frames instead of one D2H round trip per frame.
+    """
     out = sys.stdout if out is None else out
     source = FrameSource(settings)
     sink = FrameSink(settings, source)
     interval = settings.watermark_interval
+    width, height = source.width, source.height
     if engine is None:
-        engine = Watermark(source.height, source.width, settings.watermark,
-                           p=settings.p, psnr=settings.psnr)
+        engine = BatchedWatermark(height, width, settings.watermark,
+                                  p=settings.p, psnr=settings.psnr)
 
-    pending = None          # (device result, original frame) awaiting write
-    buffered: list[np.ndarray] = []
+    span_bytes = frame_bytes(width, height) * max(1, interval)
+    batch_size = max(1, min(max(1, settings.embed_batch),
+                            _EMBED_BATCH_BUDGET_BYTES // span_bytes))
+
+    # each item: [sampled frame, followers until the next sample]
+    items: list[list] = []
+    pending: list[tuple[int, list, object]] = []   # (real, items, marked u8)
     frames = 0
 
-    def flush_pending():
-        nonlocal pending
-        if pending is None:
+    def dispatch():
+        nonlocal items
+        if not items:
             return
-        marked_dev, frame = pending
-        luma_u8 = np.asarray(marked_dev).astype(np.uint8)  # truncating cast
-        _, u, v = split_planes(frame, source.width, source.height)
-        sink.put(luma_u8.tobytes() + u.tobytes() + v.tobytes())
-        for buffered_frame in buffered:
-            sink.put(buffered_frame.tobytes())
-        buffered.clear()
-        pending = None
+        real = len(items)
+        lumas = np.stack([split_planes(f, width, height)[0]
+                          for f, _ in items])
+        if real < batch_size:   # pad: every dispatch reuses the one compiled
+            lumas = np.concatenate(  # (batch, H, W) program shape
+                [lumas, np.repeat(lumas[-1:], batch_size - real, axis=0)])
+        marked, _ = engine.embed_luma_u8(lumas, MaskType.ME)  # async
+        pending.append((real, items, marked))
+        items = []
+
+    def collect(block_all=False):
+        while pending and (block_all or len(pending) > 1):
+            real, batch_items, marked = pending.pop(0)
+            host = np.asarray(marked)              # u8 D2H pull
+            for i, (frame, followers) in enumerate(batch_items[:real]):
+                _, u, v = split_planes(frame, width, height)
+                sink.put(host[i].tobytes() + u.tobytes() + v.tobytes())
+                for follower in followers:
+                    sink.put(follower.tobytes())
 
     start = time.perf_counter()
     try:
@@ -151,16 +177,21 @@ def embed_video(settings: Settings, engine: Watermark | None = None,
             if frame is None:
                 break
             if frames % interval == 0:
-                flush_pending()     # collect the previous sampled frame first
-                luma = _luma_f32(frame, source.width, source.height)
-                marked, _ = engine.embed(luma, mask_type=MaskType.ME)
-                pending = (marked, frame)  # async: collected at next sample/EOF
-            elif pending is not None:
-                buffered.append(frame)     # must wait for the pending write
+                items.append([frame, []])
+                if len(items) >= batch_size:
+                    dispatch()
+                    collect()          # keep at most one batch in flight
+            elif items:
+                items[-1][1].append(frame)
+            elif pending:
+                # follower of the last item of the in-flight batch (its list
+                # is still growing until the next sample arrives)
+                pending[-1][1][-1][1].append(frame)
             else:
                 sink.put(frame.tobytes())
             frames += 1
-        flush_pending()
+        dispatch()
+        collect(block_all=True)
     finally:
         elapsed = time.perf_counter() - start
         source.close()
@@ -192,7 +223,11 @@ def detect_video(settings: Settings, engine: BatchedWatermark | None = None,
         nonlocal batch_ids, batch_lumas
         if not batch_lumas:
             return
-        stack = np.stack(batch_lumas)
+        stack = np.stack(batch_lumas)   # uint8: 1 byte/pixel over the link
+        if len(batch_lumas) < batch_size:   # pad the remainder batch so the
+            stack = np.concatenate(         # compiled (B, H, W) shape reuses
+                [stack, np.repeat(stack[-1:], batch_size - len(batch_lumas),
+                                  axis=0)])
         corr = engine.detect(stack, MaskType.ME)
         pending.append((batch_ids, corr))
         batch_ids, batch_lumas = [], []
@@ -200,7 +235,7 @@ def detect_video(settings: Settings, engine: BatchedWatermark | None = None,
     def collect(block_all=False):
         while pending and (block_all or len(pending) > 1):
             ids, corr = pending.pop(0)
-            for frame_id, value in zip(ids, np.asarray(corr)):
+            for frame_id, value in zip(ids, np.asarray(corr)[:len(ids)]):
                 results.append((frame_id, float(value)))
                 print(f"Correlation for frame: {frame_id}: {value:g}",
                       file=out)
@@ -214,7 +249,7 @@ def detect_video(settings: Settings, engine: BatchedWatermark | None = None,
             if frames % interval == 0:
                 batch_ids.append(frames)
                 batch_lumas.append(
-                    _luma_f32(frame, source.width, source.height))
+                    split_planes(frame, source.width, source.height)[0])
                 if len(batch_lumas) >= batch_size:
                     dispatch()
                     collect()     # keep at most one batch in flight
