@@ -116,7 +116,10 @@ def test_pallas_fuzz_shapes(rng):
     """Random odd shapes through both fused pipelines vs the oracle."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
                                                     embed_pipeline)
-    for rows, cols in [(17, 131), (64, 64), (33, 257), (96, 140)]:
+    # 3872 is the 4k_non_divisible sample width (not a multiple of 64 or
+    # 128): stresses the lane-misaligned pad path at a real-world width
+    for rows, cols in [(17, 131), (64, 64), (33, 257), (96, 140),
+                       (24, 3872)]:
         img = jnp.asarray(np.clip(rng.normal(128, 40, (rows, cols)), 0,
                                   255).astype(np.float32))
         wm = jnp.asarray(rng.normal(size=(rows, cols)).astype(np.float32))

@@ -125,14 +125,81 @@ def test_hybrid_dp_sp_matches_single(frames, watermark32):
 
 
 @pytest.mark.parametrize("mask_type", ["me", "nvf"])
-def test_spatial_pallas_analysis_matches_single(frames, watermark32,
-                                                mask_type):
-    """Per-shard Pallas Gram kernel + psum reproduces the single-device
-    detector (halo seams spliced into the kernel padding)."""
+def test_spatial_pallas_detect_matches_single(frames, watermark32,
+                                              mask_type):
+    """The full fused Pallas path per shard (Gram kernel + detect tail with
+    the shard's global row offset) + psum reproduces both the single-device
+    fused pipeline and the XLA oracle."""
     mesh = make_mesh(data=1, space=4)
     img = jnp.asarray(frames[0])
     wm = jnp.asarray(watermark32)
-    ref = detect_pipeline(img, wm, mask_type)
+    ref_xla = detect_pipeline(img, wm, mask_type, impl="xla")
+    ref_fused = detect_pipeline(img, wm, mask_type, impl="pallas")
     fn = make_spatial_detect(mesh, mask_type, impl="pallas")
     got = fn(shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref_xla), atol=2e-4)
+    np.testing.assert_allclose(float(got), float(ref_fused), atol=2e-4)
+
+
+@pytest.mark.parametrize("mask_type", ["me", "nvf"])
+def test_spatial_pallas_embed_matches_single(frames, watermark32, mask_type):
+    """Fused embed-field kernel per shard + psum/pmax reproduces the
+    single-device embed."""
+    mesh = make_mesh(data=1, space=4)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref_out, ref_s = embed_pipeline(img, img, wm, SF, mask_type, impl="xla")
+    fn = make_spatial_embed(mesh, mask_type, SF, *img.shape, impl="pallas")
+    img_sh = shard_rows(mesh, img)
+    got_out, got_s = fn(img_sh, img_sh, shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got_s), float(ref_s), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=2e-3)
+
+
+def test_spatial_pallas_nvf_p5_halo(frames, watermark32):
+    """NVF p=5 on the pallas shard path: halo = 1 + p//2 = 3 rows of true
+    seam data spliced into the kernel padding."""
+    mesh = make_mesh(data=1, space=4)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref = detect_pipeline(img, wm, "nvf", p=5, impl="xla")
+    fn = make_spatial_detect(mesh, "nvf", p=5, impl="pallas")
+    got = fn(shard_rows(mesh, img), shard_rows(mesh, wm))
     np.testing.assert_allclose(float(got), float(ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_hybrid_impl_matches_single(frames, watermark32, impl):
+    """2x4 hybrid mesh with both shard implementations: batch-polymorphic
+    shard functions process (B_local, h_local, W) blocks directly."""
+    from watermarking_gpu_tpu.parallel import (make_hybrid_detect,
+                                               make_hybrid_embed,
+                                               shard_hybrid, shard_watermark)
+    mesh = make_mesh(data=2, space=4)
+    wm = jnp.asarray(watermark32)
+    ref = batch_detect(jnp.asarray(frames), wm, "me", impl="xla")
+    fn = make_hybrid_detect(mesh, "me", impl=impl)
+    got = fn(shard_hybrid(mesh, jnp.asarray(frames)),
+             shard_watermark(mesh, wm))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    ref_out, ref_s = batch_embed(jnp.asarray(frames), jnp.asarray(frames),
+                                 wm, SF, "me", impl="xla")
+    embed_fn = make_hybrid_embed(mesh, "me", SF, 32, 64, impl=impl)
+    sharded = shard_hybrid(mesh, jnp.asarray(frames))
+    got_out, got_s = embed_fn(sharded, sharded, shard_watermark(mesh, wm))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=2e-3)
+
+
+def test_halo_larger_than_shard_rejected(frames, watermark32):
+    """A halo that cannot come from immediate neighbors fails loudly."""
+    mesh = make_mesh(data=1, space=8)   # 4-row shards; NVF p=9 needs halo 5
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    fn = make_spatial_detect(mesh, "nvf", p=9, impl="pallas")
+    with pytest.raises(ValueError, match="halo"):
+        fn(shard_rows(mesh, img), shard_rows(mesh, wm))

@@ -105,16 +105,18 @@ def _nvf_region(ext, base, span, width, p):
     return variance / (1.0 + variance)
 
 
-def _clamp_fix_ring(u_ext, strip_index, strip, rows):
+def _clamp_fix_ring(u_ext, strip_index, strip, rows, row_start):
     """Rebuild u's border ring with clamp-to-edge of u itself.
 
     u_ext is (strip+2, width+2): row 0 / col 0 are the -1 halo, the last
-    row/col the +1 halo. Rows use global indices (only the first/last strips
-    touch the image border); columns are static.
+    row/col the +1 halo. Rows use global image indices — ``row_start`` (a
+    traced scalar, nonzero under spatial sharding) plus the strip offset —
+    so only strips touching the true image border get the fix; columns are
+    static.
     """
     span = u_ext.shape[0]
     width_ext = u_ext.shape[1]
-    base_row = strip_index * strip - 1
+    base_row = row_start + strip_index * strip - 1
     g = base_row + jax.lax.broadcasted_iota(jnp.int32, (span, width_ext), 0)
     shifted_down = jnp.concatenate([u_ext[1:], u_ext[-1:]], axis=0)
     shifted_up = jnp.concatenate([u_ext[:1], u_ext[:-1]], axis=0)
@@ -135,9 +137,9 @@ def _acc_row(values: dict[int, jnp.ndarray]) -> jnp.ndarray:
     return row
 
 
-def _detect_tail_kernel(coeffs_ref, img_ref, wm_ref, acc_ref, *, pad: int,
-                        strip: int, width: int, rows: int, mask_type: str,
-                        p: int):
+def _detect_tail_kernel(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref, *,
+                        pad: int, strip: int, width: int, rows: int,
+                        total_rows: int, mask_type: str, p: int):
     ext = img_ref[0]
     wm_ext = wm_ref
     image_index = pl.program_id(0)
@@ -153,7 +155,8 @@ def _detect_tail_kernel(coeffs_ref, img_ref, wm_ref, acc_ref, *, pad: int,
     else:
         mask_ext = _nvf_region(ext, base, span, wspan, p)
     u_ext = mask_ext * wm_ext[base : base + span, base : base + wspan]
-    u_ext = _clamp_fix_ring(u_ext, strip_index, strip, rows)
+    u_ext = _clamp_fix_ring(u_ext, strip_index, strip, total_rows,
+                            row0_ref[0])
 
     # e_u over the true center from u's own ring
     e_u = u_ext[1 : 1 + strip, 1 : 1 + width]
@@ -180,39 +183,59 @@ def _detect_tail_kernel(coeffs_ref, img_ref, wm_ref, acc_ref, *, pad: int,
     })
 
 
-def fused_detect_tail_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
-                             coefficients: jnp.ndarray, rows: int, cols: int,
-                             pad: int, strip: int, rows_padded: int,
-                             mask_type: str, p: int) -> jnp.ndarray:
-    """Correlations from pre-padded (B, rows_padded+2p, cols+2p) inputs."""
+def fused_detect_partials_padded(
+        img_p: jnp.ndarray, wm_p: jnp.ndarray, coefficients: jnp.ndarray,
+        rows: int, cols: int, pad: int, strip: int, rows_padded: int,
+        mask_type: str, p: int, row_start: jnp.ndarray | None = None,
+        total_rows: int | None = None
+        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(dot, ||e_u||^2, ||e_z||^2) per image from pre-padded inputs.
+
+    ``row_start`` (a (1,) int32 array, default 0) and ``total_rows``
+    (default ``rows``) place this call's rows inside a larger image — the
+    spatially-sharded path passes the shard's global row offset so the
+    kernel's clamp-ring fix only fires at the true image border, while
+    interior seams keep the true neighbor values spliced into the padding.
+    """
     batch = img_p.shape[0]
+    if row_start is None:
+        row_start = jnp.zeros((1,), jnp.int32)
+    total_rows = rows if total_rows is None else total_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(batch, rows_padded // strip),
         in_specs=[
             pl.BlockSpec(
                 (pl.Element(1), pl.Element(strip + 2 * pad),
                  pl.Element(cols + 2 * pad)),
-                lambda b, i, c: (b, i * strip, 0),
+                lambda b, i, c, r: (b, i * strip, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (pl.Element(strip + 2 * pad), pl.Element(cols + 2 * pad)),
-                lambda b, i, c: (i * strip, 0),
+                lambda b, i, c, r: (i * strip, 0),
                 memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 128), lambda b, i, c: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 128), lambda b, i, c, r: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     acc = pl.pallas_call(
         partial(_detect_tail_kernel, pad=pad, strip=strip, width=cols,
-                rows=rows, mask_type=mask_type, p=p),
+                rows=rows, total_rows=total_rows, mask_type=mask_type, p=p),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, 1, 128), jnp.float32),
         interpret=interpret_mode(),
-    )(coefficients.reshape(-1), img_p, wm_p)
-    dot = acc[:, 0, SLOT_DOT]
-    norm_u = acc[:, 0, SLOT_NORM_U]
-    norm_z = acc[:, 0, SLOT_NORM_Z]
+    )(coefficients.reshape(-1), row_start, img_p, wm_p)
+    return acc[:, 0, SLOT_DOT], acc[:, 0, SLOT_NORM_U], acc[:, 0, SLOT_NORM_Z]
+
+
+def fused_detect_tail_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
+                             coefficients: jnp.ndarray, rows: int, cols: int,
+                             pad: int, strip: int, rows_padded: int,
+                             mask_type: str, p: int) -> jnp.ndarray:
+    """Correlations from pre-padded (B, rows_padded+2p, cols+2p) inputs."""
+    dot, norm_u, norm_z = fused_detect_partials_padded(
+        img_p, wm_p, coefficients, rows, cols, pad, strip, rows_padded,
+        mask_type, p)
     return dot / jnp.sqrt(norm_u * norm_z)
 
 

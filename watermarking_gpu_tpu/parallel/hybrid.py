@@ -3,9 +3,13 @@ frame's rows sharded over the ``space`` axis.
 
 This is the framework's full multi-chip step: within a space group the
 stencil halos ride ICI via ppermute and the scalar reductions psum; across
-data groups frames are independent. ``vmap`` maps the per-shard spatial
-kernels over the local frame sub-batch — collective axes are unaffected by
-the batching transform.
+data groups frames are independent. The per-shard spatial functions are
+batch-polymorphic, so each chip simply processes its (B_local, h_local, W)
+block — collectives only ever run over the ``space`` axis.
+
+``impl="pallas"`` routes the fused strip kernels (Gram, embed field, detect
+tail) through every shard, exactly as on a single chip (see
+``parallel.spatial``).
 """
 
 from __future__ import annotations
@@ -20,15 +24,15 @@ from .mesh import DATA_AXIS, SPACE_AXIS
 from .spatial import _detect_shard, _embed_shard, shard_map
 
 
-def make_hybrid_detect(mesh, mask_type: str, p: int = 3):
+def make_hybrid_detect(mesh, mask_type: str, p: int = 3, impl: str = "xla"):
     """(B, H, W) frames + (H, W) watermark -> (B,) correlations.
 
     B shards over data, H over space; the watermark is row-sharded and shared
     across the batch.
     """
-    per_frame = jax.vmap(partial(_detect_shard, mask_type=mask_type, p=p),
-                         in_axes=(0, None))
-    fn = shard_map(per_frame, mesh=mesh,
+    fn = shard_map(partial(_detect_shard, mask_type=mask_type, p=p,
+                           impl=impl),
+                   mesh=mesh,
                    in_specs=(P(DATA_AXIS, SPACE_AXIS, None),
                              P(SPACE_AXIS, None)),
                    out_specs=P(DATA_AXIS), check_vma=False)
@@ -36,19 +40,18 @@ def make_hybrid_detect(mesh, mask_type: str, p: int = 3):
 
 
 def make_hybrid_embed(mesh, mask_type: str, strength_factor_value: float,
-                      rows: int, cols: int, p: int = 3):
+                      rows: int, cols: int, p: int = 3, impl: str = "xla"):
     """(B, H, W) frames -> (watermarked (B, H, W), strengths (B,))."""
-    per_frame = jax.vmap(
+    del rows, cols  # shard-local geometry + axis size determine the totals
+    fn = shard_map(
         partial(_embed_shard, mask_type=mask_type, p=p,
-                strength_factor_value=strength_factor_value,
-                total_pixels=rows * cols),
-        in_axes=(0, 0, None))
-    fn = shard_map(per_frame, mesh=mesh,
-                   in_specs=(P(DATA_AXIS, SPACE_AXIS, None),
-                             P(DATA_AXIS, SPACE_AXIS, None),
-                             P(SPACE_AXIS, None)),
-                   out_specs=(P(DATA_AXIS, SPACE_AXIS, None), P(DATA_AXIS)),
-                   check_vma=False)
+                strength_factor_value=strength_factor_value, impl=impl),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, SPACE_AXIS, None),
+                  P(DATA_AXIS, SPACE_AXIS, None),
+                  P(SPACE_AXIS, None)),
+        out_specs=(P(DATA_AXIS, SPACE_AXIS, None), P(DATA_AXIS)),
+        check_vma=False)
     return jax.jit(fn)
 
 

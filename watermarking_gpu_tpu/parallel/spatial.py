@@ -1,12 +1,25 @@
-"""Spatially-sharded (SP) single-image embed/detect across a TPU mesh.
+"""Spatially-sharded (SP) embed/detect across a TPU mesh.
 
-One image's rows shard across the ``space`` mesh axis. Stencils need their
+An image's rows shard across the ``space`` mesh axis. Stencils need their
 neighbors' edge rows, so each step exchanges a row halo with mesh neighbors
 via ``lax.ppermute`` over ICI (the Pallas-guide ring pattern, expressed at the
 XLA level); global clamp-to-edge semantics are preserved by replicating the
 true image edges at the outermost shards. Global scalars (Rx/rx normal
 equations, norms, correlations, mask maxima) reduce with ``lax.psum`` /
 ``lax.pmax``.
+
+Both implementations are available per shard:
+
+* ``impl="xla"`` — the jnp oracle ops on each shard.
+* ``impl="pallas"`` — the fused strip kernels (Gram, embed field, detect
+  tail) run on each shard's rows: the ICI-exchanged halo rows are spliced
+  into the kernels' padding region so seams see true neighbors, and the
+  detect tail receives the shard's global row offset so its clamp-ring fix
+  only fires at the true image border. Per-shard partial reductions then
+  psum/pmax exactly like the XLA path.
+
+Every shard function is batch-polymorphic over leading dims — the hybrid
+DP x SP path calls the same functions on (B_local, h_local, W) blocks.
 
 This is the TPU-native scaling axis the reference lacks entirely (SURVEY.md
 §2.4: single-device, single-queue); it makes arbitrarily large frames behave
@@ -27,7 +40,7 @@ try:  # jax >= 0.6 exposes shard_map at the top level
 except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.me import solve_coefficients
+from ..ops.me import solve_coefficients, solve_coefficients_spd
 from ..ops.neighbors import neighbor_stack_from_padded
 from .mesh import SPACE_AXIS
 
@@ -36,35 +49,57 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 def exchange_row_halo(x: jnp.ndarray, halo: int,
                       axis: str = SPACE_AXIS) -> jnp.ndarray:
-    """Extend a (h, W) row shard to (h + 2*halo, W) with neighbor rows.
+    """Extend a (..., h, W) row shard to (..., h + 2*halo, W) with neighbor
+    rows.
 
     Interior shard boundaries receive the true adjacent rows from mesh
     neighbors (ppermute); the global top/bottom replicate the edge row,
     matching the reference's CLAMP_TO_EDGE sampler.
     """
+    if halo > x.shape[-2]:
+        raise ValueError(
+            f"halo {halo} exceeds the {x.shape[-2]}-row shard; use fewer "
+            f"spatial shards for this image height")
     n = lax.axis_size(axis)
     idx = lax.axis_index(axis)
-    send_up = x[:halo]        # our top rows -> previous shard's bottom halo
-    send_down = x[-halo:]     # our bottom rows -> next shard's top halo
+    send_up = x[..., :halo, :]     # our top rows -> prev shard's bottom halo
+    send_down = x[..., -halo:, :]  # our bottom rows -> next shard's top halo
     from_up = lax.ppermute(send_down, axis,
                            [(i, i + 1) for i in range(n - 1)])
     from_down = lax.ppermute(send_up, axis,
                              [(i + 1, i) for i in range(n - 1)])
-    top_fill = jnp.repeat(x[:1], halo, axis=0)
-    bottom_fill = jnp.repeat(x[-1:], halo, axis=0)
+    top_fill = jnp.repeat(x[..., :1, :], halo, axis=-2)
+    bottom_fill = jnp.repeat(x[..., -1:, :], halo, axis=-2)
     top = jnp.where(idx == 0, top_fill, from_up)
     bottom = jnp.where(idx == n - 1, bottom_fill, from_down)
-    return jnp.concatenate([top, x, bottom], axis=0)
+    return jnp.concatenate([top, x, bottom], axis=-2)
 
 
 def _extend(x: jnp.ndarray, halo: int) -> jnp.ndarray:
     """Row halo via ICI exchange + column halo via local edge padding."""
     with_rows = exchange_row_halo(x, halo)
-    return jnp.pad(with_rows, ((0, 0), (halo, halo)), mode="edge")
+    widths = [(0, 0)] * (x.ndim - 2) + [(0, 0), (halo, halo)]
+    return jnp.pad(with_rows, widths, mode="edge")
+
+
+def _splice_pad(ext: jnp.ndarray, halo: int, rows: int, pad: int,
+                rows_padded: int) -> jnp.ndarray:
+    """Grow a halo-extended shard to the fused kernels' padded layout.
+
+    ``ext`` is (..., rows + 2*halo, W) with true seam rows; the result is
+    (..., rows_padded + 2*pad, W + 2*pad) with the shard's row 0 at index
+    ``pad`` — the exchanged rows land exactly where ``pad_image`` would have
+    put edge replicas, so the kernels read true neighbors at interior seams.
+    The extra replicated rows beyond the halo are never read (or are
+    masked/cancelled, see me_kernel.py's assembly notes).
+    """
+    widths = [(0, 0)] * (ext.ndim - 2)
+    widths += [(pad - halo, pad - halo + rows_padded - rows), (pad, pad)]
+    return jnp.pad(ext, widths, mode="edge")
 
 
 def _local_neighbors(img: jnp.ndarray) -> jnp.ndarray:
-    h, w = img.shape
+    h, w = img.shape[-2:]
     return neighbor_stack_from_padded(_extend(img, 1), h, w)
 
 
@@ -72,88 +107,202 @@ def _nvf_local(img: jnp.ndarray, p: int) -> jnp.ndarray:
     halo = p // 2
     ext = _extend(img, halo)
     p2 = float(p * p)
-    total = lax.reduce_window(ext, 0.0, lax.add, (p, p), (1, 1), "VALID")
-    total_sq = lax.reduce_window(ext * ext, 0.0, lax.add, (p, p), (1, 1),
+    window = (1,) * (ext.ndim - 2) + (p, p)
+    strides = (1,) * ext.ndim
+    total = lax.reduce_window(ext, 0.0, lax.add, window, strides, "VALID")
+    total_sq = lax.reduce_window(ext * ext, 0.0, lax.add, window, strides,
                                  "VALID")
     mean = total / p2
     variance = total_sq / p2 - mean * mean
     return variance / (1.0 + variance)
 
 
-def _analysis_local(img: jnp.ndarray, impl: str = "xla"):
-    """Global Rx/rx from per-shard partials + psum, then a replicated solve.
+def _flatten_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) -> (B, H, W) for the pallas kernels' leading grid dim."""
+    return x.reshape((-1,) + x.shape[-2:])
 
-    impl="pallas" runs the fused Gram strip kernel on each shard: the halo
-    rows exchanged over ICI are spliced into the kernel's padding region so
-    shard seams see true neighbors, and the kernel's own bottom-row masking
-    keeps each center counted exactly once; the 9x9 partials then psum.
+
+def _gram_psum(img_p3: jnp.ndarray, rows: int, cols: int, pad: int,
+               strip: int, rows_padded: int):
+    """Per-shard fused Gram partials + psum -> replicated SPD solve.
+
+    The halo rows exchanged over ICI sit in the kernel's padding region so
+    shard seams see true neighbors; the kernel's own bottom-row masking
+    keeps each center counted exactly once, and the lag-decomposition
+    assembly cancels any contribution of the fake +/-2 padding rows by
+    value (see me_kernel.py). The psum'd 9x9 Gram equals the unsharded one.
     """
-    h, w = img.shape
+    from ..ops.pallas.me_kernel import me_gram_padded
+
+    gram = me_gram_padded(img_p3, rows, cols, pad, strip, rows_padded)
+    gram = lax.psum(gram, SPACE_AXIS)
+    return solve_coefficients_spd(gram[:, :8, :8], gram[:, :8, 8])
+
+
+def _analysis_local(img: jnp.ndarray, impl: str = "xla"):
+    """Global Rx/rx from per-shard partials + psum, then a replicated solve."""
+    h, w = img.shape[-2:]
     if impl == "pallas":
         from ..ops.pallas.common import pick_strip_for_width
-        from ..ops.pallas.me_kernel import PAD, me_gram_padded
+        from ..ops.pallas.me_kernel import PAD
 
         strip, rows_padded = pick_strip_for_width(h, w, 130_000, PAD)
-        ext = exchange_row_halo(img, 1)                  # (h+2, W), true seams
-        img_p = jnp.pad(ext, ((PAD - 1, PAD - 1 + rows_padded - h),
-                              (PAD, PAD)), mode="edge")
-        gram = me_gram_padded(img_p[None], h, w, PAD, strip, rows_padded)[0]
-        gram = lax.psum(gram, SPACE_AXIS)
-        return solve_coefficients(gram[:8, :8], gram[:8, 8])
-    neighbors = _local_neighbors(img).reshape(8, -1)
-    center = img.reshape(-1)
+        ext = exchange_row_halo(img, 1)              # true seam rows
+        img_p3 = _flatten_batch(_splice_pad(ext, 1, h, PAD, rows_padded))
+        coefficients, valid = _gram_psum(img_p3, h, w, PAD, strip,
+                                         rows_padded)
+        batch_shape = img.shape[:-2]
+        return (coefficients.reshape(batch_shape + (8,)),
+                valid.reshape(batch_shape))
+    neighbors = _local_neighbors(img)
+    flat = neighbors.reshape(*neighbors.shape[:-2], -1)      # (..., 8, N)
+    center = img.reshape(*img.shape[:-2], -1)                # (..., N)
     rx_matrix = lax.psum(
-        jnp.matmul(neighbors, neighbors.T, precision=_HIGHEST,
+        jnp.einsum("...kn,...ln->...kl", flat, flat, precision=_HIGHEST,
                    preferred_element_type=jnp.float32), SPACE_AXIS)
     rx_vector = lax.psum(
-        jnp.matmul(neighbors, center, precision=_HIGHEST,
+        jnp.einsum("...kn,...n->...k", flat, center, precision=_HIGHEST,
                    preferred_element_type=jnp.float32), SPACE_AXIS)
     return solve_coefficients(rx_matrix, rx_vector)
 
 
 def _predict_local(img: jnp.ndarray, coefficients: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("k,khw->hw", coefficients, _local_neighbors(img),
+    return jnp.einsum("...k,...khw->...hw", coefficients,
+                      _local_neighbors(img),
                       precision=_HIGHEST, preferred_element_type=jnp.float32)
+
+
+def _detect_shard_pallas(img: jnp.ndarray, watermark: jnp.ndarray,
+                         mask_type: str, p: int) -> jnp.ndarray:
+    """Per-shard fused Gram + detect tail; psum'd correlation reductions."""
+    from ..ops.pallas.fused import (fused_detect_partials_padded,
+                                    pipeline_geometry)
+
+    h, w = img.shape[-2:]
+    batch_shape = img.shape[:-2]
+    n = lax.axis_size(SPACE_AXIS)
+    idx = lax.axis_index(SPACE_AXIS)
+    pad, strip, rows_padded = pipeline_geometry(h, w, mask_type, p)
+    # rows the tail kernel truly reads beyond the shard: the +/-1 e_z ring
+    # needs image rows +/-2; the NVF mask over the ring needs 1 + p//2
+    halo = 2 if mask_type == "me" else max(2, 1 + p // 2)
+
+    img_p3 = _flatten_batch(
+        _splice_pad(exchange_row_halo(img, halo), halo, h, pad, rows_padded))
+    wm_p = _splice_pad(exchange_row_halo(watermark, 1), 1, h, pad,
+                       rows_padded)
+
+    coefficients, valid = _gram_psum(img_p3, h, w, pad, strip, rows_padded)
+    row_start = jnp.reshape(idx * h, (1,)).astype(jnp.int32)
+    dot, norm_u, norm_z = fused_detect_partials_padded(
+        img_p3, wm_p, coefficients, h, w, pad, strip, rows_padded,
+        mask_type, p, row_start=row_start, total_rows=n * h)
+    dot = lax.psum(dot, SPACE_AXIS)
+    norm_u = lax.psum(norm_u, SPACE_AXIS)
+    norm_z = lax.psum(norm_z, SPACE_AXIS)
+    corr = dot / jnp.sqrt(norm_u * norm_z)
+    return jnp.where(valid, corr, 0.0).reshape(batch_shape)
 
 
 def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
                   p: int, impl: str = "xla") -> jnp.ndarray:
+    if impl == "pallas":
+        return _detect_shard_pallas(img, watermark, mask_type, p)
     coefficients, valid = _analysis_local(img, impl)
     e_z = img - _predict_local(img, coefficients)
     if mask_type == "me":
         abs_err = jnp.abs(e_z)
-        mask = abs_err / lax.pmax(jnp.max(abs_err), SPACE_AXIS)
+        local_max = jnp.max(abs_err, axis=(-2, -1), keepdims=True)
+        mask = abs_err / lax.pmax(local_max, SPACE_AXIS)
     else:
         mask = _nvf_local(img, p)
     u = mask * watermark
     e_u = u - _predict_local(u, coefficients)
-    dot = lax.psum(jnp.vdot(e_u, e_z, precision=_HIGHEST), SPACE_AXIS)
-    norm_u = lax.psum(jnp.vdot(e_u, e_u, precision=_HIGHEST), SPACE_AXIS)
-    norm_z = lax.psum(jnp.vdot(e_z, e_z, precision=_HIGHEST), SPACE_AXIS)
+    dot = lax.psum(jnp.sum(e_u * e_z, axis=(-2, -1)), SPACE_AXIS)
+    norm_u = lax.psum(jnp.sum(e_u * e_u, axis=(-2, -1)), SPACE_AXIS)
+    norm_z = lax.psum(jnp.sum(e_z * e_z, axis=(-2, -1)), SPACE_AXIS)
     corr = dot / jnp.sqrt(norm_u * norm_z)
     return jnp.where(valid, corr, 0.0)
 
 
+def _gate(value: jnp.ndarray, valid: jnp.ndarray, fallback) -> jnp.ndarray:
+    extra = value.ndim - valid.ndim
+    return jnp.where(valid.reshape(valid.shape + (1,) * extra), value,
+                     fallback)
+
+
+def _embed_shard_pallas(img: jnp.ndarray, output: jnp.ndarray,
+                        watermark: jnp.ndarray, strength_factor_value: float,
+                        mask_type: str, p: int):
+    """Per-shard fused Gram + embed-field kernels; psum/pmax reductions."""
+    from ..ops.pallas.common import pad_image
+    from ..ops.pallas.fused import (fused_embed_field_padded,
+                                    pipeline_geometry)
+
+    h, w = img.shape[-2:]
+    batch_shape = img.shape[:-2]
+    n = lax.axis_size(SPACE_AXIS)
+    pad, strip, rows_padded = pipeline_geometry(h, w, mask_type, p)
+    # the embed field reads +/-1 rows for the ME error, p//2 for NVF; the
+    # ME analysis Gram additionally needs the +/-1 seam rows
+    halo = 1 if mask_type == "me" else max(1, p // 2)
+
+    img_p3 = _flatten_batch(
+        _splice_pad(exchange_row_halo(img, halo), halo, h, pad, rows_padded))
+    wm_p = pad_image(watermark, pad, rows_padded)   # center rows only
+
+    nb = img_p3.shape[0]
+    if mask_type == "me":
+        coefficients, valid = _gram_psum(img_p3, h, w, pad, strip,
+                                         rows_padded)
+    else:
+        coefficients = jnp.zeros((nb, 8), jnp.float32)
+        valid = jnp.ones((nb,), dtype=bool)
+    u_raw, sum_u2, max_e = fused_embed_field_padded(
+        img_p3, wm_p, coefficients, h, w, pad, strip, rows_padded,
+        mask_type, p)
+    sum_u2 = lax.psum(sum_u2, SPACE_AXIS)
+    max_e = lax.pmax(max_e, SPACE_AXIS)
+
+    total = float(n * h * w)
+    scale = strength_factor_value * jnp.sqrt(total) / jnp.sqrt(sum_u2)
+    strength = scale * max_e if mask_type == "me" else scale
+    u_raw = u_raw.reshape(batch_shape + (h, w))
+    scale = scale.reshape(batch_shape)
+    strength = strength.reshape(batch_shape)
+    valid = valid.reshape(batch_shape)
+    addend = u_raw * scale[..., None, None]
+    if output.ndim == img.ndim + 1:
+        addend = addend[..., None]
+    watermarked = jnp.clip(output + addend, 0.0, 255.0)
+    watermarked = _gate(watermarked, valid, output)
+    return watermarked, jnp.where(valid, strength, 0.0)
+
+
 def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
                  watermark: jnp.ndarray, strength_factor_value: float,
-                 mask_type: str, p: int, total_pixels: int,
-                 impl: str = "xla"):
+                 mask_type: str, p: int, impl: str = "xla"):
+    if impl == "pallas":
+        return _embed_shard_pallas(img, output, watermark,
+                                   strength_factor_value, mask_type, p)
     if mask_type == "me":
         coefficients, valid = _analysis_local(img, impl)
         e = img - _predict_local(img, coefficients)
         abs_err = jnp.abs(e)
-        mask = abs_err / lax.pmax(jnp.max(abs_err), SPACE_AXIS)
+        local_max = jnp.max(abs_err, axis=(-2, -1), keepdims=True)
+        mask = abs_err / lax.pmax(local_max, SPACE_AXIS)
     else:
         mask = _nvf_local(img, p)
-        valid = jnp.bool_(True)
+        valid = jnp.ones(img.shape[:-2], dtype=bool)
     u = mask * watermark
-    norm_sq = lax.psum(jnp.vdot(u, u, precision=_HIGHEST), SPACE_AXIS)
-    strength = strength_factor_value / jnp.sqrt(norm_sq / total_pixels)
-    addend = u * strength
-    if output.ndim == 3:
+    norm_sq = lax.psum(jnp.sum(u * u, axis=(-2, -1)), SPACE_AXIS)
+    total = lax.axis_size(SPACE_AXIS) * img.shape[-2] * img.shape[-1]
+    strength = strength_factor_value / jnp.sqrt(norm_sq / total)
+    addend = u * strength[..., None, None]
+    if output.ndim == img.ndim + 1:
         addend = addend[..., None]
     watermarked = jnp.clip(output + addend, 0.0, 255.0)
-    watermarked = jnp.where(valid, watermarked, output)
+    watermarked = _gate(watermarked, valid, output)
     return watermarked, jnp.where(valid, strength, 0.0)
 
 
@@ -161,7 +310,7 @@ def make_spatial_detect(mesh, mask_type: str, p: int = 3,
                         impl: str = "xla"):
     """jit-compiled row-sharded detect: (H, W) image, (H, W) W -> scalar.
 
-    impl="pallas" runs the fused Gram kernel per shard (analysis stage).
+    impl="pallas" runs the fused Gram + detect-tail kernels per shard.
     """
     row_sharded = P(SPACE_AXIS, None)
     fn = shard_map(
@@ -174,13 +323,16 @@ def make_spatial_detect(mesh, mask_type: str, p: int = 3,
 def make_spatial_embed(mesh, mask_type: str, strength_factor_value: float,
                        rows: int, cols: int, p: int = 3,
                        channels: bool = False, impl: str = "xla"):
-    """jit-compiled row-sharded embed -> (watermarked, strength)."""
+    """jit-compiled row-sharded embed -> (watermarked, strength).
+
+    impl="pallas" runs the fused Gram + embed-field kernels per shard.
+    """
+    del rows, cols  # shard-local geometry + axis size determine the totals
     row_sharded = P(SPACE_AXIS, None)
     out_sharded = P(SPACE_AXIS, None, None) if channels else row_sharded
     fn = shard_map(
         partial(_embed_shard, mask_type=mask_type, p=p,
-                strength_factor_value=strength_factor_value,
-                total_pixels=rows * cols, impl=impl),
+                strength_factor_value=strength_factor_value, impl=impl),
         mesh=mesh, in_specs=(row_sharded, out_sharded, row_sharded),
         out_specs=(out_sharded, P()), check_vma=False)
     return jax.jit(fn)
