@@ -151,6 +151,26 @@ def test_detect_remainder_batch_reuses_compile(clip):
     assert fn._cache_size() == 1
 
 
+def test_pixel_format_contract(fake_ffmpeg, capsys):
+    """Non-yuv420p inputs: converted with a NOTE by default; aborted in
+    strict mode with the reference's message (main.cpp:458-459)."""
+    import os
+    root, clip_path, wm_path = fake_ffmpeg
+    ffprobe = os.environ["WM_FFPROBE"]
+    text = open(ffprobe).read().replace("yuv420p", "yuv422p10le")
+    open(ffprobe, "w").write(text)
+
+    det = make_settings(root, "input.mp4", wm_path, raw_video_size="")
+    n, _ = detect_video(det, out=io.StringIO())
+    assert n == N_FRAMES
+    assert "converted to yuv420p" in capsys.readouterr().out
+
+    strict = make_settings(root, "input.mp4", wm_path, raw_video_size="",
+                           strict_pixel_format=True)
+    with pytest.raises(RuntimeError, match="YUV420P or YUVJ420P"):
+        detect_video(strict, out=io.StringIO())
+
+
 def test_missing_raw_size_errors(clip):
     root, clip_path, wm_path = clip
     s = make_settings(root, clip_path, wm_path, raw_video_size="")
@@ -183,7 +203,7 @@ cat > "$out"
     ffmpeg.chmod(0o755)
     ffprobe = tmp_path / "ffprobe"
     ffprobe.write_text(f"""#!/bin/bash
-echo '{{"streams": [{{"width": {W}, "height": {H}, "avg_frame_rate": "25/1"}}]}}'
+echo '{{"streams": [{{"width": {W}, "height": {H}, "avg_frame_rate": "25/1", "pix_fmt": "yuv420p"}}]}}'
 """)
     ffprobe.chmod(0o755)
     monkeypatch.setenv("WM_FFMPEG", str(ffmpeg))

@@ -52,6 +52,9 @@ class Settings:
     detect_batch: int = 8
     embed_batch: int = 8           # sampled frames per embed dispatch (cap;
     #                                host buffering bounds the effective size)
+    # reference parity: abort on non-YUV420P/YUVJ420P inputs (main.cpp:458)
+    # instead of the default convert-to-yuv420p-and-note behavior
+    strict_pixel_format: bool = False
     # provenance
     source_path: str = field(default="", compare=False)
 
@@ -120,4 +123,7 @@ def load_settings(path: str | os.PathLike = "settings.ini") -> Settings:
                           s.detect_batch)
     s.embed_batch = _get(parser, "parameters_video", "embed_batch",
                          s.embed_batch)
+    s.strict_pixel_format = _get(parser, "parameters_video",
+                                 "strict_pixel_format",
+                                 s.strict_pixel_format)
     return s

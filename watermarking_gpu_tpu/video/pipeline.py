@@ -60,6 +60,7 @@ class FrameSource:
             info = ff.probe(path)
             self.width, self.height, self.fps = (info.width, info.height,
                                                  info.fps)
+            ff.check_pixel_format(info, settings.strict_pixel_format)
             self._proc = ff.open_decoder(path)
             fd = self._proc.stdout.fileno()
         self.reader = FrameReader(fd, frame_bytes(self.width, self.height))
