@@ -35,10 +35,23 @@ def round_up(x: int, m: int) -> int:
 
 
 def pick_strip(rows: int, strip: int = DEFAULT_STRIP) -> tuple[int, int]:
-    """Return (strip_rows, padded_rows) with strip % 8 == 0, strip | padded."""
-    strip = min(strip, round_up(rows, 8))
-    padded = round_up(rows, strip)
-    return strip, padded
+    """Return (strip_rows, padded_rows) with strip % 8 == 0, strip | padded.
+
+    Among strips within the budget, pick the one whose padded row count is
+    smallest (largest strip on ties): a naive round-up can waste nearly a
+    whole strip of masked padding rows (e.g. rows=512, budget 492 -> strip
+    492 pads to 984 — half the kernel's work thrown away; strip 256 pads to
+    exactly 512).
+    """
+    budget = max(8, min(strip, round_up(rows, 8)) // 8 * 8)
+    best = (round_up(rows, budget), -budget)
+    for candidate in range(budget, 7, -8):
+        padded = round_up(rows, candidate)
+        if (padded, -candidate) < best:
+            best = (padded, -candidate)
+        if padded == round_up(rows, 8):
+            break   # no smaller padding exists
+    return -best[1], best[0]
 
 
 def pick_strip_for_width(rows: int, cols: int, budget_elems: int,

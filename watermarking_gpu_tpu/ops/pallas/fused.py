@@ -42,7 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..neighbors import NEIGHBOR_OFFSETS
 from .common import interpret_mode, pad_image, pick_strip_for_width
 
-# accumulator slots in the (1, 128) per-image reduction row
+# accumulator slots: sublane rows of the per-image (8, W) lane-partial
+# block. The kernels only ever do sublane reductions (sum/max over the strip
+# rows) into these; XLA reduces the lanes afterwards — the same
+# sublane-only-reduction structure that made the Gram kernel fast
+# (me_kernel.py; cross-lane tree reductions per strip measurably dominate
+# the tail otherwise).
 SLOT_DOT = 0      # sum e_u * e_z
 SLOT_NORM_U = 1   # sum e_u^2
 SLOT_NORM_Z = 2   # sum e_z^2
@@ -128,18 +133,10 @@ def _clamp_fix_ring(u_ext, strip_index, strip, rows, row_start):
     return jnp.concatenate([left, u[:, 1 : width_ext - 1], right], axis=1)
 
 
-def _acc_row(values: dict[int, jnp.ndarray]) -> jnp.ndarray:
-    """Scatter scalars into a (1, 128) row via iota one-hots."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    row = jnp.zeros((1, 128), jnp.float32)
-    for slot, val in values.items():
-        row = row + jnp.where(col == slot, val, 0.0)
-    return row
-
-
 def _detect_tail_kernel(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref, *,
                         pad: int, strip: int, width: int, rows: int,
-                        total_rows: int, mask_type: str, p: int):
+                        total_rows: int, mask_type: str, p: int,
+                        masked: bool):
     ext = img_ref[0]
     wm_ext = wm_ref
     image_index = pl.program_id(0)
@@ -165,22 +162,23 @@ def _detect_tail_kernel(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref, *,
                                       1 + dc : 1 + dc + width]
     e_z = e_z_ext[1 : 1 + strip, 1 : 1 + width]
 
-    # mask off padded bottom rows of the final strip
-    g = (strip_index * strip
-         + jax.lax.broadcasted_iota(jnp.int32, (strip, width), 0))
-    valid = (g < rows).astype(jnp.float32)
-    e_u = e_u * valid
-    e_z_masked = e_z * valid
+    if masked:   # mask off padded bottom rows of the final strip
+        g = (strip_index * strip
+             + jax.lax.broadcasted_iota(jnp.int32, (strip, width), 0))
+        valid = (g < rows).astype(jnp.float32)
+        e_u = e_u * valid
+        e_z_masked = e_z * valid
+    else:
+        e_z_masked = e_z
 
     @pl.when(strip_index == 0)
     def _():
         acc_ref[0] = jnp.zeros_like(acc_ref[0])
 
-    acc_ref[0] += _acc_row({
-        SLOT_DOT: jnp.sum(e_u * e_z_masked),
-        SLOT_NORM_U: jnp.sum(e_u * e_u),
-        SLOT_NORM_Z: jnp.sum(e_z_masked * e_z_masked),
-    })
+    # sublane-only reductions into per-column lane partials
+    acc_ref[0, SLOT_DOT, :] += jnp.sum(e_u * e_z_masked, axis=0)
+    acc_ref[0, SLOT_NORM_U, :] += jnp.sum(e_u * e_u, axis=0)
+    acc_ref[0, SLOT_NORM_Z, :] += jnp.sum(e_z_masked * e_z_masked, axis=0)
 
 
 def fused_detect_partials_padded(
@@ -215,17 +213,21 @@ def fused_detect_partials_padded(
                 lambda b, i, c, r: (i * strip, 0),
                 memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 128), lambda b, i, c, r: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, cols), lambda b, i, c, r: (b, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     acc = pl.pallas_call(
         partial(_detect_tail_kernel, pad=pad, strip=strip, width=cols,
-                rows=rows, total_rows=total_rows, mask_type=mask_type, p=p),
+                rows=rows, total_rows=total_rows, mask_type=mask_type, p=p,
+                masked=rows_padded != rows),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, 1, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, 8, cols), jnp.float32),
         interpret=interpret_mode(),
     )(coefficients.reshape(-1), row_start, img_p, wm_p)
-    return acc[:, 0, SLOT_DOT], acc[:, 0, SLOT_NORM_U], acc[:, 0, SLOT_NORM_Z]
+    # final lane reduction of the per-column partials happens here in XLA
+    return (jnp.sum(acc[:, SLOT_DOT, :], axis=-1),
+            jnp.sum(acc[:, SLOT_NORM_U, :], axis=-1),
+            jnp.sum(acc[:, SLOT_NORM_Z, :], axis=-1))
 
 
 def fused_detect_tail_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
@@ -259,7 +261,7 @@ def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
 
 def _embed_field_kernel(coeffs_ref, img_ref, wm_ref, u_ref, acc_ref, *,
                         pad: int, strip: int, width: int, rows: int,
-                        mask_type: str, p: int):
+                        mask_type: str, p: int, masked: bool):
     ext = img_ref[0]
     image_index = pl.program_id(0)
     strip_index = pl.program_id(1)
@@ -273,23 +275,23 @@ def _embed_field_kernel(coeffs_ref, img_ref, wm_ref, u_ref, acc_ref, *,
         err = mask                        # max|e| slot unused for NVF
     u_raw = mask * wm_ref[pad : pad + strip, pad : pad + width]
 
-    g = (strip_index * strip
-         + jax.lax.broadcasted_iota(jnp.int32, (strip, width), 0))
-    valid = (g < rows).astype(jnp.float32)
-    u_raw = u_raw * valid
+    abs_err = jnp.abs(err)
+    if masked:   # mask off padded bottom rows of the final strip
+        g = (strip_index * strip
+             + jax.lax.broadcasted_iota(jnp.int32, (strip, width), 0))
+        valid = (g < rows).astype(jnp.float32)
+        u_raw = u_raw * valid
+        abs_err = abs_err * valid
     u_ref[0] = u_raw
 
     @pl.when(strip_index == 0)
     def _():
         acc_ref[0] = jnp.zeros_like(acc_ref[0])
 
-    # slot SUM_U2 accumulates by addition, slot MAX_E by maximum
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    current = acc_ref[0]
-    added = current + jnp.where(col == SLOT_SUM_U2,
-                                jnp.sum(u_raw * u_raw), 0.0)
-    maxed = jnp.maximum(current, jnp.max(jnp.abs(err) * valid))
-    acc_ref[0] = jnp.where(col == SLOT_MAX_E, maxed, added)
+    # sublane-only reductions: per-column sum partials / max partials
+    acc_ref[0, SLOT_SUM_U2, :] += jnp.sum(u_raw * u_raw, axis=0)
+    acc_ref[0, SLOT_MAX_E, :] = jnp.maximum(
+        acc_ref[0, SLOT_MAX_E, :], jnp.max(abs_err, axis=0))
 
 
 def fused_embed_field_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
@@ -315,21 +317,24 @@ def fused_embed_field_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((1, strip, cols), lambda b, i, c: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda b, i, c: (b, 0, 0),
+            pl.BlockSpec((1, 8, cols), lambda b, i, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )
     u_raw, acc = pl.pallas_call(
         partial(_embed_field_kernel, pad=pad, strip=strip, width=cols,
-                rows=rows, mask_type=mask_type, p=p),
+                rows=rows, mask_type=mask_type, p=p,
+                masked=rows_padded != rows),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((batch, rows_padded, cols), jnp.float32),
-            jax.ShapeDtypeStruct((batch, 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 8, cols), jnp.float32),
         ),
         interpret=interpret_mode(),
     )(coefficients.reshape(-1), img_p, wm_p)
-    return (u_raw[:, :rows], acc[:, 0, SLOT_SUM_U2], acc[:, 0, SLOT_MAX_E])
+    # final lane reductions of the per-column partials happen here in XLA
+    return (u_raw[:, :rows], jnp.sum(acc[:, SLOT_SUM_U2, :], axis=-1),
+            jnp.max(acc[:, SLOT_MAX_E, :], axis=-1))
 
 
 @partial(jax.jit, static_argnames=("mask_type", "p"))

@@ -10,12 +10,13 @@ precise).
 Algorithm (lag decomposition — measured ~1.7x fewer full-plane VPU ops than
 the direct 45-pair form):
 
-* Pair sums group by relative lag d = off_b - off_a (25 distinct): every
-  pair at lag d sums the SAME product plane Q_d[y] = P[y] * P[y+d] over a
-  window that differs from the base window (rows [0,H), cols [-1,W+1)) only
-  by a +/-1 shift.
+* Pair sums group by relative lag d = off_b - off_a; orienting each
+  symmetric pair canonically leaves 13 distinct lags: every pair at lag d
+  sums the SAME product plane Q_d[y] = P[y] * P[y+d] over a window that
+  differs from the base window (rows [0,H), cols [-1,W+1)) only by a +/-1
+  shift.
 * The kernel computes, per lag, one product + one sublane reduction into a
-  (32, W+2) lane-partial block that lives in VMEM across the sequential
+  (16, W+2) lane-partial block that lives in VMEM across the sequential
   strip grid (bottom-strip rows masked so padded rows never count).
 * XLA assembles each pair's window by inclusion-exclusion: lane windows of
   the exported partials give the column shifts; boundary-row terms
@@ -46,39 +47,55 @@ PAD = 4
 _OFFSETS = tuple(NEIGHBOR_OFFSETS) + ((0, 0),)  # 8 neighbors then center
 _PAIRS = [(a, b) for a in range(9) for b in range(a, 9)]  # 45 unique entries
 
-# 25 distinct lags; pair -> (lag index, window offset = off_a)
+# Pair sums are symmetric (S_ab == S_ba), and the product plane of lag -d is
+# the plane of lag d shifted: Q_{-d}(r, c) = Q_d(r - dr, c - dc). Orienting
+# every pair so its lag is lexicographically canonical (>= (0, 0)) therefore
+# halves the kernel's work to 13 distinct lags — the assembly's existing
+# window machinery (lane offsets + the +/-1 boundary-row corrections)
+# handles the reoriented pairs verbatim, because the reoriented window
+# offset is still the first offset's row/col in {-1, 0, 1}.
 _LAGS: list[tuple[int, int]] = []
 _PAIR_PLAN: list[tuple[int, int, tuple[int, int], tuple[int, int]]] = []
 for _a, _b in _PAIRS:
     _da, _db = _OFFSETS[_a], _OFFSETS[_b]
     _lag = (_db[0] - _da[0], _db[1] - _da[1])
+    if _lag < (0, 0):   # reorient: kernel computes canonical lags only
+        _da, _db = _db, _da
+        _lag = (-_lag[0], -_lag[1])
     if _lag not in _LAGS:
         _LAGS.append(_lag)
     _PAIR_PLAN.append((_a, _b, _lag, _da))
+assert len(_LAGS) == 13
 
 
 def _me_gram_kernel(pin, pout, *, pad: int, strip: int, width: int,
-                    rows: int):
+                    rows: int, masked: bool):
     ext = pin[0]
     strip_index = pl.program_id(1)
     wspan = width + 2
     col0 = pad - 1  # lane 0 of the partials is image column -1
 
-    # mask rows beyond the true image (bottom padding of the last strip):
-    # they replicate the edge and must not count as centers
-    global_row = (strip_index * strip
-                  + jax.lax.broadcasted_iota(jnp.int32, (strip, wspan), 0))
-    mask = (global_row < rows).astype(jnp.float32)
-
-    base = ext[pad : pad + strip, col0 : col0 + wspan] * mask
+    # hoist the 5 distinct column shifts once (lane rolls); every lag then
+    # takes a sublane-offset slice of one of them — measured faster than 25
+    # independently 2D-shifted reads
+    span = strip + 2 * pad
+    cols_by_dc = {dc: ext[0:span, col0 + dc : col0 + dc + wspan]
+                  for dc in (-2, -1, 0, 1, 2)}
+    base = cols_by_dc[0][pad : pad + strip]
+    if masked:
+        # mask rows beyond the true image (bottom padding of the last
+        # strip): they replicate the edge and must not count as centers.
+        # Statically skipped when the strip divides the row count.
+        global_row = (strip_index * strip + jax.lax.broadcasted_iota(
+            jnp.int32, (strip, wspan), 0))
+        base = base * (global_row < rows).astype(jnp.float32)
 
     @pl.when(strip_index == 0)
     def _():
         pout[0] = jnp.zeros_like(pout[0])
 
     for index, (lag_r, lag_c) in enumerate(_LAGS):
-        shifted = ext[pad + lag_r : pad + lag_r + strip,
-                      col0 + lag_c : col0 + lag_c + wspan]
+        shifted = cols_by_dc[lag_c][pad + lag_r : pad + lag_r + strip]
         pout[0, index, :] += jnp.sum(base * shifted, axis=0)
 
 
@@ -91,7 +108,7 @@ for _i, (_a, _b) in enumerate(_PAIRS):
 
 def _assemble_gram(partials: jnp.ndarray, img_p: jnp.ndarray, rows: int,
                    cols: int, pad: int) -> jnp.ndarray:
-    """(B, 32, W+2) lane partials + padded image -> (B, 9, 9) Gram."""
+    """(B, 16, W+2) lane partials + padded image -> (B, 9, 9) Gram."""
     col0 = pad - 1
     wspan = cols + 2
     window_cache: dict = {}
@@ -139,16 +156,17 @@ def me_gram_padded(img_p: jnp.ndarray, rows: int, cols: int, pad: int,
     """(B, 9, 9) Gram from a pre-padded (B, rows_padded+2p, cols+2p) image."""
     batch = img_p.shape[0]
     partials = pl.pallas_call(
-        partial(_me_gram_kernel, pad=pad, strip=strip, width=cols, rows=rows),
+        partial(_me_gram_kernel, pad=pad, strip=strip, width=cols, rows=rows,
+                masked=rows_padded != rows),
         grid=(batch, rows_padded // strip),
         in_specs=[pl.BlockSpec(
             (pl.Element(1), pl.Element(strip + 2 * pad),
              pl.Element(cols + 2 * pad)),
             lambda b, i: (b, i * strip, 0),
             memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 32, cols + 2), lambda b, i: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 16, cols + 2), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 32, cols + 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, 16, cols + 2), jnp.float32),
         interpret=interpret_mode(),
     )(img_p)
     return _assemble_gram(partials, img_p, rows, cols, pad)
