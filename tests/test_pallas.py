@@ -133,6 +133,39 @@ def test_pallas_fuzz_shapes(rng):
                                    atol=0.1)
 
 
+def test_raw_mode_matches_oracle(rng):
+    """Raw-input kernels (in-kernel halo staging, no XLA pad copy)
+    reproduce the oracle on raw-capable geometries, including one with
+    bottom padding (last-strip realignment + masking) and NVF."""
+    from watermarking_gpu_tpu.ops.pallas.common import raw_mode_ok
+    from watermarking_gpu_tpu.ops.pallas.fused import pipeline_geometry
+    from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
+                                                    embed_pipeline)
+
+    tested_raw = 0
+    for rows, cols, mask_type in [(512, 512, "me"), (1048, 512, "me"),
+                                  (1024, 512, "me"), (1048, 512, "nvf"),
+                                  (530, 512, "me")]:
+        pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, 3)
+        is_raw = raw_mode_ok(rows, strip, rows_padded)
+        img = jnp.asarray(np.clip(rng.normal(128, 40, (rows, cols)), 0,
+                                  255).astype(np.float32))
+        wm = jnp.asarray(rng.normal(size=(rows, cols)).astype(np.float32))
+        ref = float(detect_pipeline(img, wm, mask_type, impl="xla"))
+        got = float(detect_pipeline(img, wm, mask_type, impl="pallas"))
+        assert got == pytest.approx(ref, abs=3e-4), (rows, cols, mask_type)
+        ref_o, ref_s = embed_pipeline(img, img, wm, 2.55, mask_type,
+                                      impl="xla")
+        got_o, got_s = embed_pipeline(img, img, wm, 2.55, mask_type,
+                                      impl="pallas")
+        assert float(got_s) == pytest.approx(float(ref_s), rel=2e-4)
+        np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
+                                   atol=0.1)
+        tested_raw += is_raw
+    assert tested_raw >= 4  # the geometries above must exercise raw mode,
+    # including a masked one (1048 pads to 1056: last-strip realignment)
+
+
 def test_pallas_singular_system(rng):
     """Constant image -> singular Rx -> detect 0, embed passthrough."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,

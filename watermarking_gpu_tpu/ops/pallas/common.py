@@ -34,24 +34,24 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pick_strip(rows: int, strip: int = DEFAULT_STRIP) -> tuple[int, int]:
+def pick_strip(rows: int, strip: int = DEFAULT_STRIP,
+               pad: int = 4) -> tuple[int, int]:
     """Return (strip_rows, padded_rows) with strip % 8 == 0, strip | padded.
 
-    Among strips within the budget, pick the one whose padded row count is
-    smallest (largest strip on ties): a naive round-up can waste nearly a
-    whole strip of masked padding rows (e.g. rows=512, budget 492 -> strip
-    492 pads to 984 — half the kernel's work thrown away; strip 256 pads to
-    exactly 512).
+    Minimizes the kernel's actual row traffic, padded * (1 + 2*pad/strip):
+    padding waste (a naive round-up can waste nearly a whole strip — e.g.
+    rows=512 at budget 492 padded to 984, half the work masked) balanced
+    against per-strip halo overlap (tiny strips reread 2*pad halo rows per
+    strip). Ties prefer the larger strip.
     """
     budget = max(8, min(strip, round_up(rows, 8)) // 8 * 8)
-    best = (round_up(rows, budget), -budget)
+    best = None
     for candidate in range(budget, 7, -8):
         padded = round_up(rows, candidate)
-        if (padded, -candidate) < best:
-            best = (padded, -candidate)
-        if padded == round_up(rows, 8):
-            break   # no smaller padding exists
-    return -best[1], best[0]
+        cost = padded * (candidate + 2 * pad) / candidate
+        if best is None or cost < best[0] - 1e-9:
+            best = (cost, candidate, padded)
+    return best[1], best[2]
 
 
 def pick_strip_for_width(rows: int, cols: int, budget_elems: int,
@@ -64,7 +64,86 @@ def pick_strip_for_width(rows: int, cols: int, budget_elems: int,
     """
     strip = budget_elems // (cols + 2 * pad) - 2 * pad
     strip = max(8, strip // 8 * 8)
-    return pick_strip(rows, strip)
+    return pick_strip(rows, strip, pad)
+
+
+RAW_PAD = 8  # raw-mode halo: multiple of the f32 sublane tile, so every
+#              strip's clamped row offset stays 8-aligned (Mosaic requires
+#              provably tile-divisible Element offsets on the sublane dim)
+
+
+def raw_mode_ok(rows: int, strip: int, rows_padded: int,
+                pad: int = RAW_PAD) -> bool:
+    """Can the kernels read the raw (unpadded) image directly?
+
+    Raw mode clamps each strip's row window into the image and realigns it
+    in VMEM scratch (``stage_raw_strip``), skipping the bandwidth-bound XLA
+    edge-pad copy entirely. It needs 8-aligned geometry (pad and rows
+    multiples of the sublane tile), at least two strips (first/last
+    realignment is per-strip-static), the image taller than one extended
+    block, and the bottom padding small enough that only the LAST strip's
+    window clamps.
+    """
+    span = strip + 2 * pad
+    return (rows_padded // strip >= 2 and rows >= span
+            and rows_padded - rows <= strip - pad and strip > pad
+            and rows % 8 == 0 and pad % 8 == 0)
+
+
+def raw_row_start(i, strip: int, pad: int, rows: int):
+    """Clamped image-row offset of grid strip ``i``'s raw block (traced).
+
+    Everything here is a multiple of 8 (raw_mode_ok guarantees it), and the
+    leading multiply keeps that fact syntactically provable for Mosaic's
+    sublane-tiling divisibility check.
+    """
+    span = strip + 2 * pad
+    return 8 * jnp.clip((i * strip - pad) // 8, 0, (rows - span) // 8)
+
+
+def stage_raw_strip(raw_ref, scratch_ref, strip_index, *, pad: int,
+                    strip: int, rows: int, rows_padded: int,
+                    cols: int) -> None:
+    """Build the halo-extended (span, cols + 2*pad) block in VMEM scratch
+    from a raw (span, cols) block whose row window was clamped into the
+    image (``raw_row_start``).
+
+    The first strip's content starts at image row 0 but logically at
+    -pad: shift down by ``pad`` and replicate row 0 above (clamp-to-edge).
+    The last strip clamps by delta = rows_padded - rows + pad: shift up and
+    replicate the last row below. Middle strips copy straight through.
+    Columns replicate the image edges, reproducing ``pad_image`` exactly —
+    without ever materializing a padded copy in HBM.
+    """
+    import jax.numpy as _jnp
+    from jax.experimental import pallas as _pl
+
+    span = strip + 2 * pad
+    n_strips = rows_padded // strip
+    delta = rows_padded - rows + pad
+    raw = raw_ref[0]
+
+    @_pl.when(_jnp.logical_and(strip_index != 0,
+                               strip_index != n_strips - 1))
+    def _():
+        scratch_ref[:, pad:pad + cols] = raw
+
+    @_pl.when(strip_index == 0)
+    def _():
+        scratch_ref[pad:, pad:pad + cols] = raw[:span - pad]
+        scratch_ref[:pad, pad:pad + cols] = _jnp.broadcast_to(
+            raw[:1], (pad, cols))
+
+    @_pl.when(strip_index == n_strips - 1)
+    def _():
+        scratch_ref[:span - delta, pad:pad + cols] = raw[delta:]
+        scratch_ref[span - delta:, pad:pad + cols] = _jnp.broadcast_to(
+            raw[span - 1:span], (delta, cols))
+
+    scratch_ref[:, :pad] = _jnp.broadcast_to(
+        scratch_ref[:, pad:pad + 1], (span, pad))
+    scratch_ref[:, pad + cols:] = _jnp.broadcast_to(
+        scratch_ref[:, pad + cols - 1:pad + cols], (span, pad))
 
 
 def pad_image(image: jnp.ndarray, pad: int, rows_to: int) -> jnp.ndarray:

@@ -40,7 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..neighbors import NEIGHBOR_OFFSETS
-from .common import interpret_mode, pad_image, pick_strip_for_width
+from .common import (interpret_mode, pad_image, pick_strip_for_width,
+                     raw_row_start, stage_raw_strip)
 
 # accumulator slots: sublane rows of the per-image (8, W) lane-partial
 # block. The kernels only ever do sublane reductions (sum/max over the strip
@@ -133,14 +134,12 @@ def _clamp_fix_ring(u_ext, strip_index, strip, rows, row_start):
     return jnp.concatenate([left, u[:, 1 : width_ext - 1], right], axis=1)
 
 
-def _detect_tail_kernel(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref, *,
-                        pad: int, strip: int, width: int, rows: int,
-                        total_rows: int, mask_type: str, p: int,
-                        masked: bool):
-    ext = img_ref[0]
+def _detect_tail_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
+                      strip_index, *, pad: int, strip: int, width: int,
+                      rows: int, total_rows: int, mask_type: str, p: int,
+                      masked: bool):
     wm_ext = wm_ref
     image_index = pl.program_id(0)
-    strip_index = pl.program_id(1)
     coeffs = [coeffs_ref[image_index * 8 + k] for k in range(8)]
 
     span = strip + 2   # e_z / u region including the +/-1 ring
@@ -179,6 +178,29 @@ def _detect_tail_kernel(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref, *,
     acc_ref[0, SLOT_DOT, :] += jnp.sum(e_u * e_z_masked, axis=0)
     acc_ref[0, SLOT_NORM_U, :] += jnp.sum(e_u * e_u, axis=0)
     acc_ref[0, SLOT_NORM_Z, :] += jnp.sum(e_z_masked * e_z_masked, axis=0)
+
+
+def _detect_tail_kernel(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref, *,
+                        pad: int, strip: int, width: int, rows: int,
+                        total_rows: int, mask_type: str, p: int,
+                        masked: bool):
+    _detect_tail_core(coeffs_ref, row0_ref, img_ref[0], wm_ref, acc_ref,
+                      pl.program_id(1), pad=pad, strip=strip, width=width,
+                      rows=rows, total_rows=total_rows, mask_type=mask_type,
+                      p=p, masked=masked)
+
+
+def _detect_tail_kernel_raw(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref,
+                            scratch, *, pad: int, strip: int, width: int,
+                            rows: int, rows_padded: int, total_rows: int,
+                            mask_type: str, p: int, masked: bool):
+    strip_index = pl.program_id(1)
+    stage_raw_strip(img_ref, scratch, strip_index, pad=pad, strip=strip,
+                    rows=rows, rows_padded=rows_padded, cols=width)
+    _detect_tail_core(coeffs_ref, row0_ref, scratch[:, :], wm_ref, acc_ref,
+                      strip_index, pad=pad, strip=strip, width=width,
+                      rows=rows, total_rows=total_rows, mask_type=mask_type,
+                      p=p, masked=masked)
 
 
 def fused_detect_partials_padded(
@@ -230,6 +252,52 @@ def fused_detect_partials_padded(
             jnp.sum(acc[:, SLOT_NORM_Z, :], axis=-1))
 
 
+def fused_detect_partials_raw(
+        img: jnp.ndarray, wm_p: jnp.ndarray, coefficients: jnp.ndarray,
+        rows: int, cols: int, pad: int, strip: int, rows_padded: int,
+        mask_type: str, p: int
+        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Detect partials straight from the raw (B, rows, cols) image.
+
+    Requires ``raw_mode_ok`` geometry: each strip's halo-extended block is
+    staged in VMEM scratch (clamped row window + in-kernel edge fill), so
+    no padded HBM copy of the image is ever materialized. The watermark is
+    still passed padded — it is engine-constant and tiny to pad.
+    """
+    batch = img.shape[0]
+    span = strip + 2 * pad
+    row_start = jnp.zeros((1,), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, rows_padded // strip),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(span), pl.Element(cols)),
+                lambda b, i, c, r: (b, raw_row_start(i, strip, pad, rows),
+                                    0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (pl.Element(span), pl.Element(cols + 2 * pad)),
+                lambda b, i, c, r: (i * strip, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, cols), lambda b, i, c, r: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((span, cols + 2 * pad), jnp.float32)],
+    )
+    acc = pl.pallas_call(
+        partial(_detect_tail_kernel_raw, pad=pad, strip=strip, width=cols,
+                rows=rows, rows_padded=rows_padded, total_rows=rows,
+                mask_type=mask_type, p=p, masked=rows_padded != rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, 8, cols), jnp.float32),
+        interpret=interpret_mode(),
+    )(coefficients.reshape(-1), row_start, img, wm_p)
+    return (jnp.sum(acc[:, SLOT_DOT, :], axis=-1),
+            jnp.sum(acc[:, SLOT_NORM_U, :], axis=-1),
+            jnp.sum(acc[:, SLOT_NORM_Z, :], axis=-1))
+
+
 def fused_detect_tail_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
                              coefficients: jnp.ndarray, rows: int, cols: int,
                              pad: int, strip: int, rows_padded: int,
@@ -259,12 +327,10 @@ def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
     return corr[0] if squeeze else corr
 
 
-def _embed_field_kernel(coeffs_ref, img_ref, wm_ref, u_ref, acc_ref, *,
-                        pad: int, strip: int, width: int, rows: int,
-                        mask_type: str, p: int, masked: bool):
-    ext = img_ref[0]
+def _embed_field_core(coeffs_ref, ext, wm_ref, u_ref, acc_ref, strip_index,
+                      *, pad: int, strip: int, width: int, rows: int,
+                      mask_type: str, p: int, masked: bool):
     image_index = pl.program_id(0)
-    strip_index = pl.program_id(1)
 
     if mask_type == "me":
         coeffs = [coeffs_ref[image_index * 8 + k] for k in range(8)]
@@ -292,6 +358,26 @@ def _embed_field_kernel(coeffs_ref, img_ref, wm_ref, u_ref, acc_ref, *,
     acc_ref[0, SLOT_SUM_U2, :] += jnp.sum(u_raw * u_raw, axis=0)
     acc_ref[0, SLOT_MAX_E, :] = jnp.maximum(
         acc_ref[0, SLOT_MAX_E, :], jnp.max(abs_err, axis=0))
+
+
+def _embed_field_kernel(coeffs_ref, img_ref, wm_ref, u_ref, acc_ref, *,
+                        pad: int, strip: int, width: int, rows: int,
+                        mask_type: str, p: int, masked: bool):
+    _embed_field_core(coeffs_ref, img_ref[0], wm_ref, u_ref, acc_ref,
+                      pl.program_id(1), pad=pad, strip=strip, width=width,
+                      rows=rows, mask_type=mask_type, p=p, masked=masked)
+
+
+def _embed_field_kernel_raw(coeffs_ref, img_ref, wm_ref, u_ref, acc_ref,
+                            scratch, *, pad: int, strip: int, width: int,
+                            rows: int, rows_padded: int, mask_type: str,
+                            p: int, masked: bool):
+    strip_index = pl.program_id(1)
+    stage_raw_strip(img_ref, scratch, strip_index, pad=pad, strip=strip,
+                    rows=rows, rows_padded=rows_padded, cols=width)
+    _embed_field_core(coeffs_ref, scratch[:, :], wm_ref, u_ref, acc_ref,
+                      strip_index, pad=pad, strip=strip, width=width,
+                      rows=rows, mask_type=mask_type, p=p, masked=masked)
 
 
 def fused_embed_field_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
@@ -333,6 +419,50 @@ def fused_embed_field_padded(img_p: jnp.ndarray, wm_p: jnp.ndarray,
         interpret=interpret_mode(),
     )(coefficients.reshape(-1), img_p, wm_p)
     # final lane reductions of the per-column partials happen here in XLA
+    return (u_raw[:, :rows], jnp.sum(acc[:, SLOT_SUM_U2, :], axis=-1),
+            jnp.max(acc[:, SLOT_MAX_E, :], axis=-1))
+
+
+def fused_embed_field_raw(img: jnp.ndarray, wm_p: jnp.ndarray,
+                          coefficients: jnp.ndarray, rows: int, cols: int,
+                          pad: int, strip: int, rows_padded: int,
+                          mask_type: str, p: int):
+    """Embed field straight from the raw (B, rows, cols) image (see
+    fused_detect_partials_raw for the staging scheme)."""
+    batch = img.shape[0]
+    span = strip + 2 * pad
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch, rows_padded // strip),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(span), pl.Element(cols)),
+                lambda b, i, c: (b, raw_row_start(i, strip, pad, rows), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (pl.Element(span), pl.Element(cols + 2 * pad)),
+                lambda b, i, c: (i * strip, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, strip, cols), lambda b, i, c: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, cols), lambda b, i, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((span, cols + 2 * pad), jnp.float32)],
+    )
+    u_raw, acc = pl.pallas_call(
+        partial(_embed_field_kernel_raw, pad=pad, strip=strip, width=cols,
+                rows=rows, rows_padded=rows_padded, mask_type=mask_type,
+                p=p, masked=rows_padded != rows),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, rows_padded, cols), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 8, cols), jnp.float32),
+        ),
+        interpret=interpret_mode(),
+    )(coefficients.reshape(-1), img, wm_p)
     return (u_raw[:, :rows], jnp.sum(acc[:, SLOT_SUM_U2, :], axis=-1),
             jnp.max(acc[:, SLOT_MAX_E, :], axis=-1))
 

@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..neighbors import NEIGHBOR_OFFSETS
-from .common import interpret_mode, pad_image, pick_strip, pick_strip_for_width
+from .common import (interpret_mode, pad_image, pick_strip,
+                     pick_strip_for_width, raw_row_start, stage_raw_strip)
 
 PAD = 4
 _OFFSETS = tuple(NEIGHBOR_OFFSETS) + ((0, 0),)  # 8 neighbors then center
@@ -68,10 +69,8 @@ for _a, _b in _PAIRS:
 assert len(_LAGS) == 13
 
 
-def _me_gram_kernel(pin, pout, *, pad: int, strip: int, width: int,
-                    rows: int, masked: bool):
-    ext = pin[0]
-    strip_index = pl.program_id(1)
+def _gram_core(ext, pout, strip_index, *, pad: int, strip: int, width: int,
+               rows: int, masked: bool):
     wspan = width + 2
     col0 = pad - 1  # lane 0 of the partials is image column -1
 
@@ -99,6 +98,24 @@ def _me_gram_kernel(pin, pout, *, pad: int, strip: int, width: int,
         pout[0, index, :] += jnp.sum(base * shifted, axis=0)
 
 
+def _me_gram_kernel(pin, pout, *, pad: int, strip: int, width: int,
+                    rows: int, masked: bool):
+    _gram_core(pin[0], pout, pl.program_id(1), pad=pad, strip=strip,
+               width=width, rows=rows, masked=masked)
+
+
+def _me_gram_kernel_raw(pin, pout, scratch, *, pad: int, strip: int,
+                        width: int, rows: int, rows_padded: int,
+                        masked: bool):
+    """Raw-input variant: the halo-extended block is built in VMEM scratch
+    (stage_raw_strip), skipping the HBM edge-pad copy entirely."""
+    strip_index = pl.program_id(1)
+    stage_raw_strip(pin, scratch, strip_index, pad=pad, strip=strip,
+                    rows=rows, rows_padded=rows_padded, cols=width)
+    _gram_core(scratch[:, :], pout, strip_index, pad=pad, strip=strip,
+               width=width, rows=rows, masked=masked)
+
+
 # symmetric pair -> position in the 45-value vector (for the final gather)
 _PAIR_INDEX = np.zeros((9, 9), dtype=np.int32)
 for _i, (_a, _b) in enumerate(_PAIRS):
@@ -106,10 +123,31 @@ for _i, (_a, _b) in enumerate(_PAIRS):
     _PAIR_INDEX[_b, _a] = _i
 
 
-def _assemble_gram(partials: jnp.ndarray, img_p: jnp.ndarray, rows: int,
-                   cols: int, pad: int) -> jnp.ndarray:
-    """(B, 16, W+2) lane partials + padded image -> (B, 9, 9) Gram."""
-    col0 = pad - 1
+def padded_row_provider(img_p: jnp.ndarray, pad: int, cols: int):
+    """row_of(j) -> (B, cols+6) image row j, lanes = image cols [-3, W+3).
+
+    Rows outside [0, H) come from the padded array itself — edge replicas
+    on a single chip, true neighbor rows under spatial sharding (where the
+    halo exchange splices them into the padding region).
+    """
+    def row_of(j: int) -> jnp.ndarray:
+        return img_p[:, pad + j, pad - 3 : pad + cols + 3]
+    return row_of
+
+
+def raw_row_provider(img: jnp.ndarray):
+    """row_of(j) from the raw (B, H, W) image: clamp rows, edge-pad cols."""
+    rows = img.shape[-2]
+
+    def row_of(j: int) -> jnp.ndarray:
+        row = img[:, min(max(j, 0), rows - 1), :]
+        return jnp.pad(row, [(0, 0), (3, 3)], mode="edge")
+    return row_of
+
+
+def _assemble_gram(partials: jnp.ndarray, row_of, rows: int,
+                   cols: int) -> jnp.ndarray:
+    """(B, 16, W+2) lane partials + boundary-row provider -> (B, 9, 9)."""
     wspan = cols + 2
     window_cache: dict = {}
     row_cache: dict = {}
@@ -121,15 +159,14 @@ def _assemble_gram(partials: jnp.ndarray, img_p: jnp.ndarray, rows: int,
             window_cache[(key, ac)] = cached
         return cached
 
-    # boundary rows of each lag's product plane, from the padded image:
-    # global rows -1, 0, H-1, H live at img_p rows pad-1, pad, pad+H-1, pad+H
+    # boundary rows of each lag's product plane: Q_d[k] = row k * row k+dr
+    # shifted by dc lanes (row_of lanes are image cols [-3, W+3))
     def q_row(k, lag):  # (B, wspan)
         cached = row_cache.get((k, lag))
         if cached is None:
             lag_r, lag_c = lag
-            top = img_p[:, pad + k, col0 : col0 + wspan]
-            bottom = img_p[:, pad + k + lag_r,
-                           col0 + lag_c : col0 + lag_c + wspan]
+            top = row_of(k)[:, 2 : 2 + wspan]
+            bottom = row_of(k + lag_r)[:, 2 + lag_c : 2 + lag_c + wspan]
             cached = top * bottom
             row_cache[(k, lag)] = cached
         return cached
@@ -169,7 +206,39 @@ def me_gram_padded(img_p: jnp.ndarray, rows: int, cols: int, pad: int,
         out_shape=jax.ShapeDtypeStruct((batch, 16, cols + 2), jnp.float32),
         interpret=interpret_mode(),
     )(img_p)
-    return _assemble_gram(partials, img_p, rows, cols, pad)
+    return _assemble_gram(partials, padded_row_provider(img_p, pad, cols),
+                          rows, cols)
+
+
+def me_gram_raw(img: jnp.ndarray, rows: int, cols: int, pad: int,
+                strip: int, rows_padded: int) -> jnp.ndarray:
+    """(B, 9, 9) Gram straight from the raw (B, rows, cols) image.
+
+    Requires ``raw_mode_ok`` geometry; the kernel stages each strip's
+    halo-extended block in VMEM scratch instead of reading an XLA-padded
+    copy from HBM.
+    """
+    batch = img.shape[0]
+    span = strip + 2 * pad
+
+    def row_index(b, i):
+        return (b, raw_row_start(i, strip, pad, rows), 0)
+
+    partials = pl.pallas_call(
+        partial(_me_gram_kernel_raw, pad=pad, strip=strip, width=cols,
+                rows=rows, rows_padded=rows_padded,
+                masked=rows_padded != rows),
+        grid=(batch, rows_padded // strip),
+        in_specs=[pl.BlockSpec(
+            (pl.Element(1), pl.Element(span), pl.Element(cols)),
+            row_index, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 16, cols + 2), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 16, cols + 2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((span, cols + 2 * pad), jnp.float32)],
+        interpret=interpret_mode(),
+    )(img)
+    return _assemble_gram(partials, raw_row_provider(img), rows, cols)
 
 
 @partial(jax.jit, static_argnames=("strip",))

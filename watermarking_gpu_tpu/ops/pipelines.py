@@ -74,48 +74,56 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
                      fallback)
 
 
-def _pad_once(image, watermark, mask_type, p):
-    """Shared pre-padding for all fused kernels of one pipeline call."""
-    from .pallas.common import pad_image
-    from .pallas.fused import pipeline_geometry
+def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
+                          mask_type, p):
+    """Pallas fast path: gram+solve, one fused field pass, one AXPY pass.
+
+    When the strip geometry allows (``raw_mode_ok``), the kernels read the
+    raw image directly and stage their halo-extended blocks in VMEM —
+    skipping the bandwidth-bound XLA edge-pad copy; otherwise the image is
+    edge-padded exactly once and shared by the gram and field kernels. The
+    ME mask's 1/max normalization cancels in the embedded pixels (see
+    ops/embed.py), so the fused field is unnormalized and the max only
+    feeds the reported strength.
+    """
+    import math
+
+    from .me import solve_coefficients_spd
+    from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
+    from .pallas.fused import (fused_embed_field_padded,
+                               fused_embed_field_raw, pipeline_geometry)
+    from .pallas.me_kernel import me_gram_padded, me_gram_raw
 
     squeeze = image.ndim == 2
     img3 = image[None] if squeeze else image
     batch, rows, cols = img3.shape
     pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
-    img_p = pad_image(img3, pad, rows_padded)
-    wm_p = pad_image(watermark, pad, rows_padded)
-    return squeeze, img_p, wm_p, (rows, cols, pad, strip, rows_padded)
-
-
-def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
-                          mask_type, p):
-    """Pallas fast path: gram+solve, one fused field pass, one AXPY pass.
-
-    The image and watermark are edge-padded exactly once and shared by the
-    gram and field kernels. The ME mask's 1/max normalization cancels in the
-    embedded pixels (see ops/embed.py), so the fused field is unnormalized
-    and the max only feeds the reported strength.
-    """
-    import math
-
-    from .me import solve_coefficients_spd
-    from .pallas.fused import fused_embed_field_padded
-    from .pallas.me_kernel import me_gram_padded
-
-    squeeze, img_p, wm_p, geo = _pad_once(image, watermark, mask_type, p)
-    rows, cols, pad, strip, rows_padded = geo
-    batch = img_p.shape[0]
-    if mask_type == "me":
-        gram = me_gram_padded(img_p, rows, cols, pad, strip, rows_padded)
-        coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
-                                                     gram[:, :8, 8])
+    if raw_mode_ok(rows, strip, rows_padded):
+        wm_p = pad_image(watermark, RAW_PAD, rows_padded)
+        if mask_type == "me":
+            gram = me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)
+            coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
+                                                         gram[:, :8, 8])
+        else:
+            coefficients = jnp.zeros((batch, 8), jnp.float32)
+            valid = jnp.ones((batch,), dtype=bool)
+        u_raw, sum_u2, max_e = fused_embed_field_raw(
+            img3, wm_p, coefficients, rows, cols, RAW_PAD, strip,
+            rows_padded, mask_type, p)
     else:
-        coefficients = jnp.zeros((batch, 8), jnp.float32)
-        valid = jnp.ones((batch,), dtype=bool)
-    u_raw, sum_u2, max_e = fused_embed_field_padded(
-        img_p, wm_p, coefficients, rows, cols, pad, strip, rows_padded,
-        mask_type, p)
+        img_p = pad_image(img3, pad, rows_padded)
+        wm_p = pad_image(watermark, pad, rows_padded)
+        if mask_type == "me":
+            gram = me_gram_padded(img_p, rows, cols, pad, strip,
+                                  rows_padded)
+            coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
+                                                         gram[:, :8, 8])
+        else:
+            coefficients = jnp.zeros((batch, 8), jnp.float32)
+            valid = jnp.ones((batch,), dtype=bool)
+        u_raw, sum_u2, max_e = fused_embed_field_padded(
+            img_p, wm_p, coefficients, rows, cols, pad, strip, rows_padded,
+            mask_type, p)
     if squeeze:
         u_raw, sum_u2, max_e = u_raw[0], sum_u2[0], max_e[0]
         valid = valid[0]
@@ -169,17 +177,35 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     image, watermark = map(_to_f32, (image, watermark))
     if impl == "pallas":
         from .me import solve_coefficients_spd
-        from .pallas.fused import fused_detect_tail_padded
-        from .pallas.me_kernel import me_gram_padded
+        from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
+        from .pallas.fused import (fused_detect_partials_raw,
+                                   fused_detect_tail_padded,
+                                   pipeline_geometry)
+        from .pallas.me_kernel import me_gram_padded, me_gram_raw
 
-        squeeze, img_p, wm_p, geo = _pad_once(image, watermark, mask_type, p)
-        rows, cols, pad, strip, rows_padded = geo
-        gram = me_gram_padded(img_p, rows, cols, pad, strip, rows_padded)
-        coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
-                                                     gram[:, :8, 8])
-        corr = fused_detect_tail_padded(
-            img_p, wm_p, coefficients, rows, cols, pad, strip, rows_padded,
-            mask_type, p)
+        squeeze = image.ndim == 2
+        img3 = image[None] if squeeze else image
+        batch, rows, cols = img3.shape
+        pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
+        if raw_mode_ok(rows, strip, rows_padded):
+            wm_p = pad_image(watermark, RAW_PAD, rows_padded)
+            gram = me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)
+            coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
+                                                         gram[:, :8, 8])
+            dot, norm_u, norm_z = fused_detect_partials_raw(
+                img3, wm_p, coefficients, rows, cols, RAW_PAD, strip,
+                rows_padded, mask_type, p)
+            corr = dot / jnp.sqrt(norm_u * norm_z)
+        else:
+            img_p = pad_image(img3, pad, rows_padded)
+            wm_p = pad_image(watermark, pad, rows_padded)
+            gram = me_gram_padded(img_p, rows, cols, pad, strip,
+                                  rows_padded)
+            coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
+                                                         gram[:, :8, 8])
+            corr = fused_detect_tail_padded(
+                img_p, wm_p, coefficients, rows, cols, pad, strip,
+                rows_padded, mask_type, p)
         if squeeze:
             corr, valid = corr[0], valid[0]
         return jnp.where(valid, corr, 0.0)
