@@ -24,28 +24,30 @@ from .watermark import Watermark, as_device_input
 
 def batch_embed(images: jnp.ndarray, outputs: jnp.ndarray,
                 watermark: jnp.ndarray, strength_factor_value: float,
-                mask_type: str, p: int = 3,
-                impl: str = "xla") -> tuple[jnp.ndarray, jnp.ndarray]:
+                mask_type: str, p: int = 3, impl: str = "xla",
+                watermark_padded=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Embed into (B, H, W[, C]) frames. Watermark matrix is shared.
 
     The pipelines are natively batch-polymorphic (no vmap), so the Pallas
     strip kernels see the whole batch as one grid.
     """
     return embed_pipeline(images, outputs, watermark, strength_factor_value,
-                          mask_type=mask_type, p=p, impl=impl)
+                          mask_type=mask_type, p=p, impl=impl,
+                          watermark_padded=watermark_padded)
 
 
 def batch_detect(images: jnp.ndarray, watermark: jnp.ndarray,
-                 mask_type: str, p: int = 3,
-                 impl: str = "xla") -> jnp.ndarray:
+                 mask_type: str, p: int = 3, impl: str = "xla",
+                 watermark_padded=None) -> jnp.ndarray:
     """Detector correlations for (B, H, W) frames -> (B,) scalars."""
     return detect_pipeline(images, watermark, mask_type=mask_type, p=p,
-                           impl=impl)
+                           impl=impl, watermark_padded=watermark_padded)
 
 
 def batch_embed_luma_u8(lumas: jnp.ndarray, watermark: jnp.ndarray,
                         strength_factor_value: float, mask_type: str,
-                        p: int = 3, impl: str = "xla"
+                        p: int = 3, impl: str = "xla",
+                        watermark_padded=None
                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Video ingest/egress path: (B, H, W) uint8 lumas in, uint8 out.
 
@@ -56,7 +58,8 @@ def batch_embed_luma_u8(lumas: jnp.ndarray, watermark: jnp.ndarray,
     """
     marked, strength = embed_pipeline(
         lumas, lumas, watermark, strength_factor_value,
-        mask_type=mask_type, p=p, impl=impl)
+        mask_type=mask_type, p=p, impl=impl,
+        watermark_padded=watermark_padded)
     return marked.astype(jnp.uint8), strength
 
 
@@ -77,7 +80,8 @@ class BatchedWatermark(Watermark):
                                  p=self.p, impl=self.impl,
                                  strength_factor_value=self.strength_factor))
             self._fn_cache[key] = fn
-        return fn(images, outputs, self.random_matrix)
+        return fn(images, outputs, self.random_matrix,
+                  watermark_padded=self._padded_watermark(mask_type))
 
     def embed_luma_u8(self, lumas, mask_type: "MaskType | str" = MaskType.ME):
         """(B, H, W) uint8 lumas -> (uint8 watermarked, strengths).
@@ -95,7 +99,8 @@ class BatchedWatermark(Watermark):
                                  p=self.p, impl=self.impl,
                                  strength_factor_value=self.strength_factor))
             self._fn_cache[key] = fn
-        return fn(lumas, self.random_matrix)
+        return fn(lumas, self.random_matrix,
+                  watermark_padded=self._padded_watermark(mask_type))
 
     def detect(self, images, mask_type: "MaskType | str" = MaskType.ME):
         mask_type = MaskType.parse(mask_type)
@@ -108,4 +113,5 @@ class BatchedWatermark(Watermark):
             fn = jax.jit(partial(batch_detect, mask_type=mask_type.value,
                                  p=self.p, impl=self.impl))
             self._fn_cache[key] = fn
-        return fn(images, self.random_matrix)
+        return fn(images, self.random_matrix,
+                  watermark_padded=self._padded_watermark(mask_type))

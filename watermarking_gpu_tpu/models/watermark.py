@@ -89,6 +89,33 @@ class Watermark:
         self.cols = int(cols)
         self.random_matrix = jax.device_put(
             self._resolve_watermark(watermark).astype(np.float32))
+        # drop cached padded-watermark buffers (matrix changed); the jitted
+        # pipeline functions stay — the watermark is an argument to them
+        self._fn_cache = {key: value for key, value in self._fn_cache.items()
+                          if key[0] != "wm_p"}
+
+    def _padded_watermark(self, mask_type: MaskType):
+        """RAW_PAD-padded watermark, computed once per geometry.
+
+        The fused raw-mode kernels read a padded watermark; it is
+        call-invariant, so the engine pays the pad copy once instead of on
+        every embed/detect dispatch. None when the fused raw path does not
+        apply (XLA impl, or geometry outside raw_mode_ok).
+        """
+        if self.impl != "pallas":
+            return None
+        key = ("wm_p", mask_type, self.rows, self.cols)
+        if key not in self._fn_cache:
+            from ..ops.pallas.common import RAW_PAD, pad_image, raw_mode_ok
+            from ..ops.pallas.fused import pipeline_geometry
+
+            _, strip, rows_padded = pipeline_geometry(
+                self.rows, self.cols, mask_type.value, self.p)
+            self._fn_cache[key] = (
+                jax.jit(pad_image, static_argnums=(1, 2))(
+                    self.random_matrix, RAW_PAD, rows_padded)
+                if raw_mode_ok(self.rows, strip, rows_padded) else None)
+        return self._fn_cache[key]
 
     def _resolve_watermark(self, watermark) -> np.ndarray:
         if isinstance(watermark, (str, os.PathLike)):
@@ -154,15 +181,17 @@ class Watermark:
         output = image if output is None else as_device_input(output)
         return self._embed_fn(mask_type)(
             image, output, self.random_matrix,
-            strength_factor_value=self.strength_factor)
+            strength_factor_value=self.strength_factor,
+            watermark_padded=self._padded_watermark(mask_type))
 
     def detect(self, image, mask_type: "MaskType | str" = MaskType.ME):
         """Detector correlation of a grayscale image (0-d device array)."""
         mask_type = MaskType.parse(mask_type)
         self._check_me_window(mask_type)
         self._check_dims(image)
-        return self._detect_fn(mask_type)(as_device_input(image),
-                                          self.random_matrix)
+        return self._detect_fn(mask_type)(
+            as_device_input(image), self.random_matrix,
+            watermark_padded=self._padded_watermark(mask_type))
 
     def _check_me_window(self, mask_type: MaskType) -> None:
         """The prediction-error mask is defined for p=3 (8-tap predictor),

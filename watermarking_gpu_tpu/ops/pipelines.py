@@ -75,7 +75,7 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
 
 
 def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
-                          mask_type, p):
+                          mask_type, p, watermark_padded=None):
     """Pallas fast path: gram+solve, one fused field pass, one AXPY pass.
 
     When the strip geometry allows (``raw_mode_ok``), the kernels read the
@@ -99,7 +99,10 @@ def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
     batch, rows, cols = img3.shape
     pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
     if raw_mode_ok(rows, strip, rows_padded):
-        wm_p = pad_image(watermark, RAW_PAD, rows_padded)
+        # engines pass the RAW_PAD-padded watermark pre-computed once per
+        # geometry (it is call-invariant); standalone callers pay the pad
+        wm_p = (watermark_padded if watermark_padded is not None
+                else pad_image(watermark, RAW_PAD, rows_padded))
         if mask_type == "me":
             gram = me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)
             coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
@@ -141,16 +144,21 @@ def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
 def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
                    watermark: jnp.ndarray, strength_factor_value: float,
                    mask_type: MaskTypeName, p: int = 3,
-                   impl: ImplName = "xla") -> tuple[jnp.ndarray, jnp.ndarray]:
+                   impl: ImplName = "xla",
+                   watermark_padded: jnp.ndarray | None = None
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Embed into `output` the watermark computed from grayscale `image`.
 
     Returns (watermarked, strengths). On an unsolvable ME system the output
     is returned unmodified and strength is 0 (Watermark.cpp:164-165).
+    ``watermark_padded`` optionally provides the RAW_PAD-padded watermark
+    (engine-cached; see Watermark._padded_watermark).
     """
     image, output, watermark = map(_to_f32, (image, output, watermark))
     if impl == "pallas":
         return _embed_pipeline_fused(image, output, watermark,
-                                     strength_factor_value, mask_type, p)
+                                     strength_factor_value, mask_type, p,
+                                     watermark_padded)
     if mask_type == "me":
         coefficients, valid = _analysis(image, impl)
         error = _prediction_error(image, coefficients, impl)
@@ -167,7 +175,9 @@ def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
 
 def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
                     mask_type: MaskTypeName, p: int = 3,
-                    impl: ImplName = "xla") -> jnp.ndarray:
+                    impl: ImplName = "xla",
+                    watermark_padded: jnp.ndarray | None = None
+                    ) -> jnp.ndarray:
     """Detector correlations for (possibly watermarked) grayscale images.
 
     NVF detection still runs the prediction-error analysis for the
@@ -188,7 +198,8 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
         batch, rows, cols = img3.shape
         pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
         if raw_mode_ok(rows, strip, rows_padded):
-            wm_p = pad_image(watermark, RAW_PAD, rows_padded)
+            wm_p = (watermark_padded if watermark_padded is not None
+                    else pad_image(watermark, RAW_PAD, rows_padded))
             gram = me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)
             coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
                                                          gram[:, :8, 8])
