@@ -85,6 +85,22 @@ def test_concurrent_submitters(engine, frames):
     assert all(np.isfinite(v) for v in results.values())
 
 
+def test_serving_u8_ingest_and_warmup(engine, frames):
+    """uint8 submissions (video lumas) ride the narrow transfer path and
+    match f32 results; warmup() pre-compiles the batch shape."""
+    u8 = frames.astype(np.uint8)
+    direct = np.asarray(engine.detect(u8[:4].astype(np.float32),
+                                      MaskType.ME))
+    service = DetectorService(engine, batch_size=4)
+    try:
+        service.warmup()
+        futures = [service.submit(f) for f in u8[:4]]
+        got = [f.result(timeout=60) for f in futures]
+    finally:
+        service.close()
+    np.testing.assert_allclose(got, direct, atol=1e-5)
+
+
 def test_dispatch_error_propagates(engine):
     """A bad submission (wrong shape) must fail its future, not hang it."""
     service = DetectorService(engine, batch_size=2, flush_timeout=0.01)

@@ -1,10 +1,13 @@
 """Frame-parallel (DP) embed/detect over a device mesh.
 
-Independent video frames shard across the ``data`` mesh axis; XLA runs the
-batched pipeline on each chip's shard with no cross-chip communication (the
-per-frame 8x8 solves and scalar reductions are frame-local). This is the
-TPU-native scaling story for the reference's sequential frame loop
-(``/root/reference/Watermark_GPU/main.cpp:319-340``).
+Independent video frames shard across the ``data`` mesh axis; each chip runs
+the batched pipeline on its local frame block with no cross-chip
+communication (the per-frame 8x8 solves and scalar reductions are
+frame-local). Expressed with ``shard_map`` so the per-chip computation is
+the literal single-chip program — including the opaque fused Pallas kernels
+with ``impl="pallas"``, which the GSPMD partitioner could not split on its
+own. This is the TPU-native scaling story for the reference's sequential
+frame loop (``/root/reference/Watermark_GPU/main.cpp:319-340``).
 """
 
 from __future__ import annotations
@@ -17,6 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models.batched import batch_detect, batch_embed
 from .mesh import DATA_AXIS
+from .spatial import shard_map
 
 
 def shard_frames(mesh, frames: jnp.ndarray) -> jnp.ndarray:
@@ -32,12 +36,12 @@ def replicate(mesh, value: jnp.ndarray) -> jnp.ndarray:
 
 def make_dp_detect(mesh, mask_type: str, p: int = 3, impl: str = "xla"):
     """jit-compiled frame-sharded detect: (B, H, W), W -> (B,) correlations."""
-    frame_spec = NamedSharding(mesh, P(DATA_AXIS, None, None))
-    out_spec = NamedSharding(mesh, P(DATA_AXIS))
-    fn = partial(batch_detect, mask_type=mask_type, p=p, impl=impl)
-    return jax.jit(fn,
-                   in_shardings=(frame_spec, NamedSharding(mesh, P())),
-                   out_shardings=out_spec)
+    fn = shard_map(partial(batch_detect, mask_type=mask_type, p=p,
+                           impl=impl),
+                   mesh=mesh,
+                   in_specs=(P(DATA_AXIS, None, None), P()),
+                   out_specs=P(DATA_AXIS), check_vma=False)
+    return jax.jit(fn)
 
 
 def make_dp_embed(mesh, mask_type: str, strength_factor_value: float,
@@ -47,12 +51,11 @@ def make_dp_embed(mesh, mask_type: str, strength_factor_value: float,
     (B, H, W) images + (B, H, W[, C]) outputs -> watermarked stack + (B,)
     strengths, all frame-sharded.
     """
-    img_spec = NamedSharding(mesh, P(DATA_AXIS, None, None))
     out_dims = (DATA_AXIS, None, None, None) if channels else \
         (DATA_AXIS, None, None)
-    out_spec = NamedSharding(mesh, P(*out_dims))
-    fn = partial(batch_embed, mask_type=mask_type, p=p, impl=impl,
-                 strength_factor_value=strength_factor_value)
-    return jax.jit(fn,
-                   in_shardings=(img_spec, out_spec, NamedSharding(mesh, P())),
-                   out_shardings=(out_spec, NamedSharding(mesh, P(DATA_AXIS))))
+    fn = shard_map(partial(batch_embed, mask_type=mask_type, p=p, impl=impl,
+                           strength_factor_value=strength_factor_value),
+                   mesh=mesh,
+                   in_specs=(P(DATA_AXIS, None, None), P(*out_dims), P()),
+                   out_specs=(P(*out_dims), P(DATA_AXIS)), check_vma=False)
+    return jax.jit(fn)

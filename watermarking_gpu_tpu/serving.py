@@ -113,6 +113,20 @@ class _BatchingService:
 
     # -- public -------------------------------------------------------------
 
+    def warmup(self, dtype=np.uint8) -> None:
+        """Compile the batch-shaped program before taking traffic.
+
+        The first dispatch of a new (batch, H, W) shape compiles for
+        minutes on TPU; production services call this once at startup so no
+        request ever waits on a compile. Uses the ingest dtype (uint8 by
+        default, matching video lumas).
+        """
+        stack = np.zeros((self.batch_size, self.engine.rows,
+                          self.engine.cols), dtype=dtype)
+        result = self._run_batch(stack)
+        for leaf in (result if isinstance(result, tuple) else (result,)):
+            np.asarray(leaf)
+
     def submit(self, image: np.ndarray) -> Future:
         frame = np.ascontiguousarray(image)
         with self._close_lock:
