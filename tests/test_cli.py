@@ -52,6 +52,20 @@ def test_cli_image_flow(ini, capsys):
     assert os.path.exists(f"{root}_W_ME{ext}")
 
 
+def test_cli_invalid_device_falls_back(tmp_path, ini, capsys):
+    """opencl_device beyond the device count falls back to 0 with a NOTE
+    (reference: af::setDevice fallback, main.cpp:72-78)."""
+    path, _ = ini
+    text = open(path).read().replace("opencl_device = 0",
+                                     "opencl_device = 99")
+    bad = tmp_path / "dev99.ini"
+    bad.write_text(text)
+    assert cli.main([str(bad)]) == 0
+    out = capsys.readouterr().out
+    assert "NOTE: Invalid device specified, using default 0" in out
+    assert "Correlation [ME]:" in out
+
+
 def test_cli_missing_settings(capsys):
     assert cli.main(["/nonexistent/settings.ini"]) == 1
     assert "Could not load" in capsys.readouterr().out

@@ -108,6 +108,28 @@ def test_reinitialize(small_image, small_watermark):
     assert np.isfinite(corr)
 
 
+def test_reinitialize_invalidates_padded_watermark(rng):
+    """The engine-cached RAW_PAD-padded watermark must not go stale when
+    reinitialize() swaps the matrix (same dims, raw-capable geometry)."""
+    h, w = 512, 512  # raw-capable: the padded-watermark cache is active
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 110 + 70 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    noise = rng.normal(0, 14, (h, w))
+    image = np.clip(base + noise, 0, 255).astype(np.float32)
+    wm_a = rng.normal(size=(h, w)).astype(np.float32)
+    wm_b = rng.normal(size=(h, w)).astype(np.float32)
+    eng = Watermark(h, w, wm_a, p=3, psnr=30.0, impl="pallas")
+    marked_a, _ = eng.embed(image, mask_type=MaskType.ME)
+    corr_a = float(eng.detect(np.asarray(marked_a), MaskType.ME))
+    assert corr_a > 0.5
+    eng.reinitialize(wm_b, h, w)
+    # the old mark must NOT correlate against the new matrix
+    corr_stale = float(eng.detect(np.asarray(marked_a), MaskType.ME))
+    assert abs(corr_stale) < 0.1
+    marked_b, _ = eng.embed(image, mask_type=MaskType.ME)
+    assert float(eng.detect(np.asarray(marked_b), MaskType.ME)) > 0.5
+
+
 def test_engine_pallas_impl_matches_xla(small_image, small_watermark):
     """Engine-level parity: the fused Pallas path (interpreter on CPU)
     reproduces the XLA oracle through the public API."""

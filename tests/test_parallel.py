@@ -198,6 +198,22 @@ def test_hybrid_impl_matches_single(frames, watermark32, impl):
                                atol=2e-3)
 
 
+def test_spatial_embed_rgb_channels(frames, watermark32):
+    """Row-sharded embed into an RGB output (channels=True path)."""
+    mesh = make_mesh(data=1, space=4)
+    img = jnp.asarray(frames[0])
+    rgb = jnp.repeat(img[..., None], 3, axis=-1)
+    wm = jnp.asarray(watermark32)
+    ref_out, ref_s = embed_pipeline(img, rgb, wm, SF, "me")
+    fn = make_spatial_embed(mesh, "me", SF, *img.shape, channels=True)
+    got_out, got_s = fn(shard_rows(mesh, img), shard_rows(mesh, rgb),
+                        shard_rows(mesh, wm))
+    assert got_out.shape == rgb.shape
+    np.testing.assert_allclose(float(got_s), float(ref_s), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=2e-3)
+
+
 def test_halo_larger_than_shard_rejected(frames, watermark32):
     """A halo that cannot come from immediate neighbors fails loudly."""
     mesh = make_mesh(data=1, space=8)   # 4-row shards; NVF p=9 needs halo 5

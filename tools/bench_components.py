@@ -78,6 +78,19 @@ def main():
             return out
         return run
 
+    def make_gram_raw(k):
+        from watermarking_gpu_tpu.ops.pallas.common import RAW_PAD
+        from watermarking_gpu_tpu.ops.pallas.me_kernel import me_gram_raw
+
+        def run(frames):
+            out = jnp.float32(0.0)
+            for _ in range(k):
+                gram = me_gram_raw(perturb(frames, out), ROWS, COLS,
+                                   RAW_PAD, strip, rows_padded)
+                out = jnp.sum(gram[:, 0, 0])
+            return out
+        return run
+
     def make_solve(k):
         def run(img_p):
             gram = me_gram_padded(img_p, ROWS, COLS, pad, strip, rows_padded)
@@ -133,6 +146,7 @@ def main():
 
     cases = [
         ("gram kernel + assembly", make_gram, (img_p,)),
+        ("gram raw (VMEM-staged halo)", make_gram_raw, (frames,)),
         ("spd solve", make_solve, (img_p,)),
         ("detect tail kernel", make_tail, (img_p, wm_p, coeffs)),
         ("embed field kernel", make_field, (img_p, wm_p, coeffs)),
