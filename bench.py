@@ -63,10 +63,14 @@ def load_frames() -> np.ndarray:
 
 
 def main() -> int:
+    global BATCH
     parser = argparse.ArgumentParser()
     parser.add_argument("--profile", default="",
                         help="capture a jax.profiler trace into this dir")
+    parser.add_argument("--batch", type=int, default=BATCH,
+                        help="frames per dispatch")
     args = parser.parse_args()
+    BATCH = args.batch
     impl = default_impl()
     frames = jax.device_put(load_frames())
     watermark = jax.device_put(
