@@ -101,6 +101,31 @@ def test_serving_u8_ingest_and_warmup(engine, frames):
     np.testing.assert_allclose(got, direct, atol=1e-5)
 
 
+def test_multichip_serving_matches_single(engine, frames):
+    """Services over a DP mesh: batches frame-shard across chips, results
+    match single-device serving."""
+    from watermarking_gpu_tpu.parallel import make_mesh
+    mesh = make_mesh(data=4)
+    direct = np.asarray(engine.detect(frames[:8], MaskType.ME))
+    service = DetectorService(engine, batch_size=8, mesh=mesh)
+    embedder = EmbedderService(engine, batch_size=4, mesh=mesh)
+    try:
+        service.warmup()
+        got = [f.result(timeout=60)
+               for f in [service.submit(x) for x in frames[:8]]]
+        marked, strength = embedder.submit(frames[0]).result(timeout=60)
+    finally:
+        service.close()
+        embedder.close()
+    np.testing.assert_allclose(got, direct, atol=1e-4)
+    ref_marked, ref_s = engine.embed(frames[:1], mask_type=MaskType.ME)
+    np.testing.assert_allclose(marked, np.asarray(ref_marked)[0], atol=1e-2)
+    assert strength == pytest.approx(float(np.asarray(ref_s)[0]), rel=1e-4)
+
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        DetectorService(engine, batch_size=6, mesh=mesh)
+
+
 def test_dispatch_error_propagates(engine):
     """A bad submission (wrong shape) must fail its future, not hang it."""
     service = DetectorService(engine, batch_size=2, flush_timeout=0.01)

@@ -25,14 +25,28 @@ from .models.masks import MaskType
 
 
 class _BatchingService:
-    """Shared machinery: batch former + dispatcher + result collector."""
+    """Shared machinery: batch former + dispatcher + result collector.
+
+    With ``mesh`` set, each batch is frame-sharded over the mesh's ``data``
+    axis and every chip runs the engine's pipeline on its local frames —
+    multi-chip serving with zero cross-chip communication (the batch size
+    must be a multiple of the data-axis size).
+    """
 
     def __init__(self, engine: BatchedWatermark, mask_type, batch_size: int,
-                 max_inflight: int, flush_timeout: float):
+                 max_inflight: int, flush_timeout: float, mesh=None):
         self.engine = engine
         self.mask_type = MaskType.parse(mask_type)
         self.batch_size = batch_size
         self.flush_timeout = flush_timeout
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel import replicate
+            if batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {batch_size} must be a multiple of the "
+                    f"mesh data axis ({mesh.shape['data']})")
+            self._wm_replicated = replicate(mesh, engine.random_matrix)
         self._submissions: queue.Queue = queue.Queue()
         self._inflight: queue.Queue = queue.Queue(maxsize=max_inflight)
         self._closed = False
@@ -147,16 +161,28 @@ class _BatchingService:
 
 
 class DetectorService(_BatchingService):
-    """submit(gray frame) -> Future[float correlation]."""
+    """submit(gray frame) -> Future[float correlation].
+
+    ``mesh``: optional jax.sharding.Mesh for frame-parallel multi-chip
+    serving (see _BatchingService).
+    """
 
     def __init__(self, engine: BatchedWatermark,
                  mask_type: "MaskType | str" = MaskType.ME,
                  batch_size: int = 8, max_inflight: int = 2,
-                 flush_timeout: float = 0.005):
+                 flush_timeout: float = 0.005, mesh=None):
         super().__init__(engine, mask_type, batch_size, max_inflight,
-                         flush_timeout)
+                         flush_timeout, mesh)
+        if mesh is not None:
+            from .parallel import make_dp_detect
+            self._dp_fn = make_dp_detect(mesh, self.mask_type.value,
+                                         p=engine.p, impl=engine.impl)
 
     def _run_batch(self, stack):
+        if self.mesh is not None:
+            from .parallel import shard_frames
+            return self._dp_fn(shard_frames(self.mesh, stack),
+                               self._wm_replicated)
         return self.engine.detect(stack, self.mask_type)
 
     def _resolve(self, future, host, index):
@@ -164,16 +190,29 @@ class DetectorService(_BatchingService):
 
 
 class EmbedderService(_BatchingService):
-    """submit(gray frame) -> Future[(watermarked ndarray, strength)]."""
+    """submit(gray frame) -> Future[(watermarked ndarray, strength)].
+
+    ``mesh``: optional jax.sharding.Mesh for frame-parallel multi-chip
+    serving (see _BatchingService).
+    """
 
     def __init__(self, engine: BatchedWatermark,
                  mask_type: "MaskType | str" = MaskType.ME,
                  batch_size: int = 8, max_inflight: int = 2,
-                 flush_timeout: float = 0.005):
+                 flush_timeout: float = 0.005, mesh=None):
         super().__init__(engine, mask_type, batch_size, max_inflight,
-                         flush_timeout)
+                         flush_timeout, mesh)
+        if mesh is not None:
+            from .parallel import make_dp_embed
+            self._dp_fn = make_dp_embed(mesh, self.mask_type.value,
+                                        engine.strength_factor,
+                                        p=engine.p, impl=engine.impl)
 
     def _run_batch(self, stack):
+        if self.mesh is not None:
+            from .parallel import shard_frames
+            sharded = shard_frames(self.mesh, stack)
+            return self._dp_fn(sharded, sharded, self._wm_replicated)
         return self.engine.embed(stack, mask_type=self.mask_type)
 
     def _resolve(self, future, host, index):
