@@ -166,6 +166,28 @@ def test_raw_mode_matches_oracle(rng):
     # including a masked one (1048 pads to 1056: last-strip realignment)
 
 
+@pytest.mark.parametrize("p", [5, 7, 9])
+def test_fused_nvf_wide_windows(rng, p):
+    """Fused NVF pipelines at p in {5,7,9}: wider halos through both the
+    raw-capable and fallback geometries."""
+    from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
+                                                    embed_pipeline)
+    for rows, cols in [(512, 256), (96, 128)]:   # raw mode / fallback
+        img = jnp.asarray(np.clip(rng.normal(128, 40, (rows, cols)), 0,
+                                  255).astype(np.float32))
+        wm = jnp.asarray(rng.normal(size=(rows, cols)).astype(np.float32))
+        ref = float(detect_pipeline(img, wm, "nvf", p=p, impl="xla"))
+        got = float(detect_pipeline(img, wm, "nvf", p=p, impl="pallas"))
+        assert got == pytest.approx(ref, abs=3e-4), (rows, cols, p)
+        ref_o, ref_s = embed_pipeline(img, img, wm, 2.55, "nvf", p=p,
+                                      impl="xla")
+        got_o, got_s = embed_pipeline(img, img, wm, 2.55, "nvf", p=p,
+                                      impl="pallas")
+        assert float(got_s) == pytest.approx(float(ref_s), rel=2e-4)
+        np.testing.assert_allclose(np.asarray(got_o), np.asarray(ref_o),
+                                   atol=0.1)
+
+
 def test_pallas_singular_system(rng):
     """Constant image -> singular Rx -> detect 0, embed passthrough."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
