@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 DEFAULT_STRIP = 256
 
@@ -115,34 +116,31 @@ def stage_raw_strip(raw_ref, scratch_ref, strip_index, *, pad: int,
     Columns replicate the image edges, reproducing ``pad_image`` exactly —
     without ever materializing a padded copy in HBM.
     """
-    import jax.numpy as _jnp
-    from jax.experimental import pallas as _pl
-
     span = strip + 2 * pad
     n_strips = rows_padded // strip
     delta = rows_padded - rows + pad
     raw = raw_ref[0]
 
-    @_pl.when(_jnp.logical_and(strip_index != 0,
-                               strip_index != n_strips - 1))
+    @pl.when(jnp.logical_and(strip_index != 0,
+                             strip_index != n_strips - 1))
     def _():
         scratch_ref[:, pad:pad + cols] = raw
 
-    @_pl.when(strip_index == 0)
+    @pl.when(strip_index == 0)
     def _():
         scratch_ref[pad:, pad:pad + cols] = raw[:span - pad]
-        scratch_ref[:pad, pad:pad + cols] = _jnp.broadcast_to(
+        scratch_ref[:pad, pad:pad + cols] = jnp.broadcast_to(
             raw[:1], (pad, cols))
 
-    @_pl.when(strip_index == n_strips - 1)
+    @pl.when(strip_index == n_strips - 1)
     def _():
         scratch_ref[:span - delta, pad:pad + cols] = raw[delta:]
-        scratch_ref[span - delta:, pad:pad + cols] = _jnp.broadcast_to(
+        scratch_ref[span - delta:, pad:pad + cols] = jnp.broadcast_to(
             raw[span - 1:span], (delta, cols))
 
-    scratch_ref[:, :pad] = _jnp.broadcast_to(
+    scratch_ref[:, :pad] = jnp.broadcast_to(
         scratch_ref[:, pad:pad + 1], (span, pad))
-    scratch_ref[:, pad + cols:] = _jnp.broadcast_to(
+    scratch_ref[:, pad + cols:] = jnp.broadcast_to(
         scratch_ref[:, pad + cols - 1:pad + cols], (span, pad))
 
 
