@@ -46,7 +46,7 @@ def gram_partials_only(img_p, rows, cols, pad, strip, rows_padded):
     batch = img_p.shape[0]
     return pl.pallas_call(
         partial(mk._me_gram_kernel, pad=pad, strip=strip, width=cols,
-                rows=rows),
+                rows=rows, masked=rows_padded != rows),
         grid=(batch, rows_padded // strip),
         in_specs=[pl.BlockSpec(
             (pl.Element(1), pl.Element(strip + 2 * pad),

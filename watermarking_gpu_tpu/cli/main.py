@@ -61,7 +61,10 @@ def test_for_image(settings: Settings) -> int:
         print("Image dimensions too low")
         return 1
     from ..ops.pallas.fused import max_supported_cols
-    if rows > MAX_ROWS or cols > max_supported_cols(p=settings.p):
+    # p != 3 runs NVF-only (wider halos shrink the width bound at p=9)
+    mask_for_bound = "me" if settings.p == 3 else "nvf"
+    if rows > MAX_ROWS or cols > max_supported_cols(mask_for_bound,
+                                                    settings.p):
         print("Image dimensions too high for this device")
         return 1
 

@@ -74,56 +74,67 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
                      fallback)
 
 
+def _fused_front(img3, watermark, watermark_padded, mask_type, p,
+                 need_gram):
+    """Shared front end of the fused pipelines (successor of _pad_once).
+
+    Picks raw vs padded kernel inputs (``raw_mode_ok``: raw mode stages
+    halos in VMEM scratch, skipping the bandwidth-bound XLA edge-pad),
+    prepares the padded watermark (engines pass it pre-computed — it is
+    call-invariant), and runs the Gram + SPD solve when the predictor is
+    needed. Returns (use_raw, img_p-or-None, wm_p, coefficients, valid,
+    (rows, cols, pad_used, strip, rows_padded)).
+    """
+    from .me import solve_coefficients_spd
+    from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
+    from .pallas.fused import pipeline_geometry
+    from .pallas.me_kernel import me_gram_padded, me_gram_raw
+
+    batch, rows, cols = img3.shape
+    pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
+    use_raw = raw_mode_ok(rows, strip, rows_padded)
+    pad_used = RAW_PAD if use_raw else pad
+    if use_raw and watermark_padded is not None:
+        wm_p = watermark_padded
+    else:
+        wm_p = pad_image(watermark, pad_used, rows_padded)
+    img_p = None if use_raw else pad_image(img3, pad, rows_padded)
+    if need_gram:
+        gram = (me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)
+                if use_raw else
+                me_gram_padded(img_p, rows, cols, pad, strip, rows_padded))
+        coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
+                                                     gram[:, :8, 8])
+    else:
+        coefficients = jnp.zeros((batch, 8), jnp.float32)
+        valid = jnp.ones((batch,), dtype=bool)
+    return (use_raw, img_p, wm_p, coefficients, valid,
+            (rows, cols, pad_used, strip, rows_padded))
+
+
 def _embed_pipeline_fused(image, output, watermark, strength_factor_value,
                           mask_type, p, watermark_padded=None):
     """Pallas fast path: gram+solve, one fused field pass, one AXPY pass.
 
-    When the strip geometry allows (``raw_mode_ok``), the kernels read the
-    raw image directly and stage their halo-extended blocks in VMEM —
-    skipping the bandwidth-bound XLA edge-pad copy; otherwise the image is
-    edge-padded exactly once and shared by the gram and field kernels. The
-    ME mask's 1/max normalization cancels in the embedded pixels (see
+    The ME mask's 1/max normalization cancels in the embedded pixels (see
     ops/embed.py), so the fused field is unnormalized and the max only
     feeds the reported strength.
     """
     import math
 
-    from .me import solve_coefficients_spd
-    from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
-    from .pallas.fused import (fused_embed_field_padded,
-                               fused_embed_field_raw, pipeline_geometry)
-    from .pallas.me_kernel import me_gram_padded, me_gram_raw
+    from .pallas.fused import fused_embed_field_padded, fused_embed_field_raw
 
     squeeze = image.ndim == 2
     img3 = image[None] if squeeze else image
-    batch, rows, cols = img3.shape
-    pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
-    if raw_mode_ok(rows, strip, rows_padded):
-        # engines pass the RAW_PAD-padded watermark pre-computed once per
-        # geometry (it is call-invariant); standalone callers pay the pad
-        wm_p = (watermark_padded if watermark_padded is not None
-                else pad_image(watermark, RAW_PAD, rows_padded))
-        if mask_type == "me":
-            gram = me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)
-            coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
-                                                         gram[:, :8, 8])
-        else:
-            coefficients = jnp.zeros((batch, 8), jnp.float32)
-            valid = jnp.ones((batch,), dtype=bool)
+    use_raw, img_p, wm_p, coefficients, valid, geo = _fused_front(
+        img3, watermark, watermark_padded, mask_type, p,
+        need_gram=mask_type == "me")
+    rows, cols, pad, strip, rows_padded = geo
+    if use_raw:
         u_raw, sum_u2, max_e = fused_embed_field_raw(
-            img3, wm_p, coefficients, rows, cols, RAW_PAD, strip,
-            rows_padded, mask_type, p)
+            img3, wm_p, coefficients, rows, cols, pad, strip, rows_padded,
+            mask_type, p)
     else:
-        img_p = pad_image(img3, pad, rows_padded)
-        wm_p = pad_image(watermark, pad, rows_padded)
-        if mask_type == "me":
-            gram = me_gram_padded(img_p, rows, cols, pad, strip,
-                                  rows_padded)
-            coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
-                                                         gram[:, :8, 8])
-        else:
-            coefficients = jnp.zeros((batch, 8), jnp.float32)
-            valid = jnp.ones((batch,), dtype=bool)
         u_raw, sum_u2, max_e = fused_embed_field_padded(
             img_p, wm_p, coefficients, rows, cols, pad, strip, rows_padded,
             mask_type, p)
@@ -186,34 +197,20 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     """
     image, watermark = map(_to_f32, (image, watermark))
     if impl == "pallas":
-        from .me import solve_coefficients_spd
-        from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
         from .pallas.fused import (fused_detect_partials_raw,
-                                   fused_detect_tail_padded,
-                                   pipeline_geometry)
-        from .pallas.me_kernel import me_gram_padded, me_gram_raw
+                                   fused_detect_tail_padded)
 
         squeeze = image.ndim == 2
         img3 = image[None] if squeeze else image
-        batch, rows, cols = img3.shape
-        pad, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
-        if raw_mode_ok(rows, strip, rows_padded):
-            wm_p = (watermark_padded if watermark_padded is not None
-                    else pad_image(watermark, RAW_PAD, rows_padded))
-            gram = me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)
-            coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
-                                                         gram[:, :8, 8])
+        use_raw, img_p, wm_p, coefficients, valid, geo = _fused_front(
+            img3, watermark, watermark_padded, mask_type, p, need_gram=True)
+        rows, cols, pad, strip, rows_padded = geo
+        if use_raw:
             dot, norm_u, norm_z = fused_detect_partials_raw(
-                img3, wm_p, coefficients, rows, cols, RAW_PAD, strip,
+                img3, wm_p, coefficients, rows, cols, pad, strip,
                 rows_padded, mask_type, p)
             corr = dot / jnp.sqrt(norm_u * norm_z)
         else:
-            img_p = pad_image(img3, pad, rows_padded)
-            wm_p = pad_image(watermark, pad, rows_padded)
-            gram = me_gram_padded(img_p, rows, cols, pad, strip,
-                                  rows_padded)
-            coefficients, valid = solve_coefficients_spd(gram[:, :8, :8],
-                                                         gram[:, :8, 8])
             corr = fused_detect_tail_padded(
                 img_p, wm_p, coefficients, rows, cols, pad, strip,
                 rows_padded, mask_type, p)

@@ -42,6 +42,7 @@ except AttributeError:  # pragma: no cover - older jax
 
 from ..ops.me import solve_coefficients, solve_coefficients_spd
 from ..ops.neighbors import neighbor_stack_from_padded
+from ..ops.pipelines import _gate
 from .mesh import SPACE_AXIS
 
 _HIGHEST = jax.lax.Precision.HIGHEST
@@ -139,21 +140,12 @@ def _gram_psum(img_p3: jnp.ndarray, rows: int, cols: int, pad: int,
     return solve_coefficients_spd(gram[:, :8, :8], gram[:, :8, 8])
 
 
-def _analysis_local(img: jnp.ndarray, impl: str = "xla"):
-    """Global Rx/rx from per-shard partials + psum, then a replicated solve."""
-    h, w = img.shape[-2:]
-    if impl == "pallas":
-        from ..ops.pallas.common import pick_strip_for_width
-        from ..ops.pallas.me_kernel import PAD
+def _analysis_local(img: jnp.ndarray):
+    """Global Rx/rx from per-shard partials + psum, then a replicated solve.
 
-        strip, rows_padded = pick_strip_for_width(h, w, 130_000, PAD)
-        ext = exchange_row_halo(img, 1)              # true seam rows
-        img_p3 = _flatten_batch(_splice_pad(ext, 1, h, PAD, rows_padded))
-        coefficients, valid = _gram_psum(img_p3, h, w, PAD, strip,
-                                         rows_padded)
-        batch_shape = img.shape[:-2]
-        return (coefficients.reshape(batch_shape + (8,)),
-                valid.reshape(batch_shape))
+    XLA-oracle path only — the pallas shard functions run _gram_psum with
+    the pipeline-shared geometry instead.
+    """
     neighbors = _local_neighbors(img)
     flat = neighbors.reshape(*neighbors.shape[:-2], -1)      # (..., 8, N)
     center = img.reshape(*img.shape[:-2], -1)                # (..., N)
@@ -208,7 +200,7 @@ def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
                   p: int, impl: str = "xla") -> jnp.ndarray:
     if impl == "pallas":
         return _detect_shard_pallas(img, watermark, mask_type, p)
-    coefficients, valid = _analysis_local(img, impl)
+    coefficients, valid = _analysis_local(img)
     e_z = img - _predict_local(img, coefficients)
     if mask_type == "me":
         abs_err = jnp.abs(e_z)
@@ -223,12 +215,6 @@ def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
     norm_z = lax.psum(jnp.sum(e_z * e_z, axis=(-2, -1)), SPACE_AXIS)
     corr = dot / jnp.sqrt(norm_u * norm_z)
     return jnp.where(valid, corr, 0.0)
-
-
-def _gate(value: jnp.ndarray, valid: jnp.ndarray, fallback) -> jnp.ndarray:
-    extra = value.ndim - valid.ndim
-    return jnp.where(valid.reshape(valid.shape + (1,) * extra), value,
-                     fallback)
 
 
 def _embed_shard_pallas(img: jnp.ndarray, output: jnp.ndarray,
@@ -286,7 +272,7 @@ def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
         return _embed_shard_pallas(img, output, watermark,
                                    strength_factor_value, mask_type, p)
     if mask_type == "me":
-        coefficients, valid = _analysis_local(img, impl)
+        coefficients, valid = _analysis_local(img)
         e = img - _predict_local(img, coefficients)
         abs_err = jnp.abs(e)
         local_max = jnp.max(abs_err, axis=(-2, -1), keepdims=True)
