@@ -98,18 +98,19 @@ def main() -> int:
 
     run(2)  # stabilize
     from watermarking_gpu_tpu.utils.profiling import trace
-    # best of 3 slope measurements: tunnel stalls only ever inflate times,
-    # so the minimum per-step estimate is the least-polluted one
-    per_steps = []
+    # slope of per-count minima: tunnel stalls only ever ADD time, so the
+    # min over repeats is the cleanest sample per window, and sloping the
+    # minima cancels the fixed sync cost without min-of-slopes' bias (a
+    # stall in one small window would fake a too-good slope)
+    smalls, larges = [], []
     corrs = None
-    t_small = 0.0
     with trace(args.profile or None):
         for _ in range(3):
-            t_small, _ = run(ITERS_SMALL)
+            smalls.append(run(ITERS_SMALL)[0])
             t_large, corrs = run(ITERS_LARGE)
-            per_steps.append(
-                (t_large - t_small) / (ITERS_LARGE - ITERS_SMALL))
-    per_step = min(per_steps)
+            larges.append(t_large)
+    t_small = min(smalls)
+    per_step = (min(larges) - t_small) / (ITERS_LARGE - ITERS_SMALL)
     fps = BATCH / per_step
 
     result = {

@@ -76,17 +76,20 @@ def measure_roundtrip(frames, watermark, mask_type, impl, iters=(6, 24)):
         return time.perf_counter() - t0, pulled
 
     run(2)
-    # best-of-3 slopes: tunnel stalls only inflate times, so the minimum
-    # positive estimate is the least-polluted one
-    per_steps = []
+    # slope of per-count minima: tunnel stalls only ever ADD time, so the
+    # min over repeats is the cleanest estimate of each window — sloping
+    # the minima is robust where min-of-slopes is biased by a stall that
+    # happens to inflate the small window (observed: a 3.6x-too-good fps)
     corrs = None
-    for _ in range(3):
-        t1, _ = run(iters[0])
+    t_small = []
+    t_large = []
+    for _ in range(4):
+        t_small.append(run(iters[0])[0])
         t2, corrs = run(iters[1])
-        slope = (t2 - t1) / (iters[1] - iters[0])
-        if slope > 0:
-            per_steps.append(slope)
-    per_step = min(per_steps) if per_steps else float("nan")
+        t_large.append(t2)
+    per_step = (min(t_large) - min(t_small)) / (iters[1] - iters[0])
+    if per_step <= 0:
+        per_step = float("nan")
     return {
         "fps": round(batch / per_step, 1),
         "ms_per_frame": round(1e3 * per_step / batch, 4),
@@ -94,17 +97,15 @@ def measure_roundtrip(frames, watermark, mask_type, impl, iters=(6, 24)):
     }
 
 
-def _slope(run, iters=(4, 12)):
-    """Per-iteration seconds via two-count slope, best of 3 (CLAUDE.md:
-    host syncs on the tunneled TPU cost ~30 ms; the slope cancels them)."""
-    estimates = []
-    for _ in range(3):
-        t1 = run(iters[0])
-        t2 = run(iters[1])
-        slope = (t2 - t1) / (iters[1] - iters[0])
-        if slope > 0:
-            estimates.append(slope)
-    return min(estimates) if estimates else float("nan")
+def _slope(run, iters=(4, 12), reps=4):
+    """Per-iteration seconds via the slope of per-count minima (host syncs
+    on the tunneled TPU cost ~30 ms and stalls only ever add time; minima
+    per window are the cleanest samples, and their slope cancels the fixed
+    cost without the bias of min-of-slopes)."""
+    t1 = min(run(iters[0]) for _ in range(reps))
+    t2 = min(run(iters[1]) for _ in range(reps))
+    slope = (t2 - t1) / (iters[1] - iters[0])
+    return slope if slope > 0 else float("nan")
 
 
 def video_detect_benchmark(rows=1080, cols=1920, interval=30, frames=2400,
@@ -238,8 +239,8 @@ def main():
         watermark = generate_watermark(rows, cols, 28390211).astype(
             np.float32)
         # small images need many more iterations per window or the slope
-        # drowns in host timing jitter
-        size_iters = iters if rows >= 1080 else (iters[0] * 8, iters[1] * 8)
+        # drowns in host timing jitter (~30 ms per sync on this tunnel)
+        size_iters = iters if rows >= 1080 else (iters[0] * 16, iters[1] * 16)
         for mask_type in ("me", "nvf"):
             key = f"embed_detect_{name}_{mask_type}"
             report["results"][key] = measure_roundtrip(

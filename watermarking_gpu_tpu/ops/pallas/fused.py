@@ -55,15 +55,33 @@ SLOT_NORM_Z = 2   # sum e_z^2
 SLOT_SUM_U2 = 0   # embed: sum u_raw^2
 SLOT_MAX_E = 1    # embed: max |error| (reported-strength only)
 
-SHARED_BUDGET = 260_000  # elements; calibrated: best 1080p throughput (2568 fps)
-# while the detect-tail kernel still fits scoped VMEM at 4K widths
+SHARED_BUDGET = 320_000  # elements; recalibrated for the raw-mode kernels:
+# 4K strips widen 56 -> 72 (812 -> 955 fps) with 1080p/512 unchanged-or-
+# better, and the detect tail still fits scoped VMEM at 4K widths (the
+# raw path adds a (span, W+2*pad) staging scratch to the budget)
 
 
 def pipeline_geometry(rows: int, cols: int, mask_type: str,
                       p: int) -> tuple[int, int, int]:
-    """(pad, strip, rows_padded) shared by every kernel of one pipeline."""
+    """(pad, strip, rows_padded) shared by every kernel of one pipeline.
+
+    Prefers a raw-eligible geometry (zero-copy kernel inputs, see
+    common.raw_mode_ok): when the unconstrained pick lands on a single
+    strip, a pick capped at half the rows restores >= 2 strips — measured
+    faster than losing raw mode (512^2: 23k vs 21k fps round trips).
+    """
+    from .common import pick_strip, raw_mode_ok
+
     pad = 4 if (mask_type == "me" or 1 + p // 2 <= 4) else 8
     strip, rows_padded = pick_strip_for_width(rows, cols, SHARED_BUDGET, pad)
+    if not raw_mode_ok(rows, strip, rows_padded):
+        budget_strip = max(8, (SHARED_BUDGET // (cols + 2 * pad) - 2 * pad)
+                           // 8 * 8)
+        capped = max(8, rows // 2 // 8 * 8)
+        strip2, rows_padded2 = pick_strip(rows, min(budget_strip, capped),
+                                          pad)
+        if raw_mode_ok(rows, strip2, rows_padded2):
+            return pad, strip2, rows_padded2
     return pad, strip, rows_padded
 
 
