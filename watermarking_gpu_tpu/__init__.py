@@ -6,9 +6,11 @@ PSNR-scaled additive embedding, correlation-based detection, image and video
 pipelines, and a settings.ini-driven benchmark CLI.
 """
 
-from .models import MaskType, Watermark
+from .models import BatchedWatermark, MaskType, Watermark
 from .ops import strength_factor
+from .serving import DetectorService, EmbedderService
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["MaskType", "Watermark", "strength_factor", "__version__"]
+__all__ = ["BatchedWatermark", "DetectorService", "EmbedderService",
+           "MaskType", "Watermark", "strength_factor", "__version__"]
