@@ -151,6 +151,23 @@ def test_detect_remainder_batch_reuses_compile(clip):
     assert fn._cache_size() == 1
 
 
+def test_encoder_death_fails_cleanly(fake_ffmpeg, tmp_path):
+    """A dying encoder child (EPIPE mid-stream) surfaces as an IOError
+    instead of silently dropping frames; sources/sinks still close."""
+    import os
+    root, clip_path, wm_path = fake_ffmpeg
+    ffmpeg = os.environ["WM_FFMPEG"]
+    text = open(ffmpeg).read().replace(
+        'cat > "$out"', 'head -c 20000 > "$out"')  # read ~1 frame, then exit
+    open(ffmpeg, "w").write(text)
+    settings = make_settings(root, "input.mp4", wm_path,
+                             encode_watermark_file_path=str(
+                                 tmp_path / "dead.mp4"),
+                             raw_video_size="")
+    with pytest.raises(IOError):
+        embed_video(settings, out=io.StringIO())
+
+
 def test_pixel_format_contract(fake_ffmpeg, capsys):
     """Non-yuv420p inputs: converted with a NOTE by default; aborted in
     strict mode with the reference's message (main.cpp:458-459)."""
