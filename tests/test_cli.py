@@ -66,6 +66,26 @@ def test_cli_invalid_device_falls_back(tmp_path, ini, capsys):
     assert "Correlation [ME]:" in out
 
 
+def test_compilation_cache_setting(tmp_path, ini, capsys):
+    """compilation_cache_dir wires up JAX's persistent executable cache."""
+    import jax
+
+    from watermarking_gpu_tpu.io.config import load_settings
+    from watermarking_gpu_tpu.utils import enable_compilation_cache
+
+    path, _ = ini
+    cache = tmp_path / "cache"
+    text = open(path).read().replace(
+        "[options]", f"[options]\ncompilation_cache_dir = {cache}")
+    cached_ini = tmp_path / "cache.ini"
+    cached_ini.write_text(text)
+    assert load_settings(cached_ini).compilation_cache_dir == str(cache)
+
+    got = enable_compilation_cache(cache)
+    assert got == str(cache) and cache.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+
+
 def test_cli_missing_settings(capsys):
     assert cli.main(["/nonexistent/settings.ini"]) == 1
     assert "Could not load" in capsys.readouterr().out

@@ -171,6 +171,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Could not load {settings_path} file")
         return 1
 
+    if settings.compilation_cache_dir:
+        from ..utils import enable_compilation_cache
+        enable_compilation_cache(settings.compilation_cache_dir)
+
     device = _select_device(settings.device)
 
     if settings.p not in (3, 5, 7, 9):

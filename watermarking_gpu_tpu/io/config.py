@@ -35,6 +35,9 @@ class Settings:
     # extension: time the benchmark loops with pipelined dispatch + one sync
     # (true device time) instead of the reference's per-call blocking loop
     pipelined_timing: bool = True
+    # extension: persist compiled TPU executables here so every process
+    # after the first starts hot (utils/compile_cache.py); empty = off
+    compilation_cache_dir: str = ""
     # [parameters]
     p: int = -1
     psnr: float = -1.0
@@ -102,6 +105,9 @@ def load_settings(path: str | os.PathLike = "settings.ini") -> Settings:
         parser, "options", "execution_time_in_fps", s.execution_time_in_fps)
     s.pipelined_timing = _get(parser, "options", "pipelined_timing",
                               s.pipelined_timing)
+    s.compilation_cache_dir = _get(parser, "options",
+                                   "compilation_cache_dir",
+                                   s.compilation_cache_dir)
     s.p = _get(parser, "parameters", "p", s.p)
     s.psnr = _get(parser, "parameters", "psnr", s.psnr)
     s.loops_for_test = _get(parser, "parameters", "loops_for_test",
