@@ -225,7 +225,12 @@ def main():
     parser.add_argument("--out", default="BENCH_SWEEP.json")
     parser.add_argument("--quick", action="store_true",
                         help="512 + 1080p only, fewer iterations")
+    parser.add_argument("--cache-dir", default="/tmp/wm_jax_cache",
+                        help="persistent compile cache ('' disables)")
     args = parser.parse_args()
+    if args.cache_dir:
+        from watermarking_gpu_tpu.utils import enable_compilation_cache
+        enable_compilation_cache(args.cache_dir)
 
     impl = default_impl()
     report = {"impl": impl, "device": str(jax.devices()[0]), "results": {}}

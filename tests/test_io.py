@@ -101,6 +101,9 @@ loops_for_test = 7
 [parameters_video]
 watermark_interval = 15
 watermark_detection = true
+embed_batch = 4
+detect_batch = 16
+strict_pixel_format = true
 """)
     s = load_settings(ini)
     assert s.image.endswith("512.png")
@@ -110,6 +113,9 @@ watermark_detection = true
     assert s.p == 3 and s.psnr == 40.0 and s.loops_for_test == 7
     assert s.watermark_interval == 15 and s.watermark_detection is True
     assert s.encode_options == "-c:v libx265 -preset fast -crf 23"
+    assert s.embed_batch == 4 and s.detect_batch == 16
+    assert s.strict_pixel_format is True
+    assert s.compilation_cache_dir == ""   # extension defaults off
 
 
 def test_settings_missing_file(tmp_path):
