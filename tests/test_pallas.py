@@ -188,6 +188,30 @@ def test_fused_nvf_wide_windows(rng, p):
                                    atol=0.1)
 
 
+def test_mixed_batch_singular_frame(rng):
+    """A batch where one frame has a singular system: only that frame
+    soft-fails (corr 0, embed passthrough), through the fused raw path."""
+    from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
+                                                    embed_pipeline)
+    rows, cols = 512, 256   # raw-capable geometry
+    good = np.clip(rng.normal(128, 40, (rows, cols)), 0,
+                   255).astype(np.float32)
+    flat = np.full((rows, cols), 77.0, dtype=np.float32)
+    imgs = jnp.asarray(np.stack([good, flat, good + 1.0]))
+    wm = jnp.asarray(rng.normal(size=(rows, cols)).astype(np.float32))
+
+    corr = np.asarray(detect_pipeline(imgs, wm, "me", impl="pallas"))
+    assert corr[1] == 0.0
+    assert np.isfinite(corr[[0, 2]]).all() and (corr[[0, 2]] != 0).all()
+
+    marked, strength = embed_pipeline(imgs, imgs, wm, 2.55, "me",
+                                      impl="pallas")
+    strength = np.asarray(strength)
+    assert strength[1] == 0.0 and (strength[[0, 2]] > 0).all()
+    np.testing.assert_array_equal(np.asarray(marked)[1], flat)
+    assert np.abs(np.asarray(marked)[0] - good).max() > 0
+
+
 def test_pallas_singular_system(rng):
     """Constant image -> singular Rx -> detect 0, embed passthrough."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
