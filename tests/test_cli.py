@@ -225,6 +225,21 @@ def test_display_array(tmp_path, rng):
     assert Image.open(path).size == (48, 32)
 
 
+def test_profiling_trace(tmp_path, rng):
+    """trace() captures a profiler dump into the target dir; None no-ops."""
+    import jax.numpy as jnp
+
+    from watermarking_gpu_tpu.utils import annotate, trace
+    log_dir = tmp_path / "trace"
+    with trace(str(log_dir)):
+        with annotate("embed-section"):
+            jnp.square(jnp.arange(8.0)).block_until_ready()
+    assert any(log_dir.rglob("*"))   # plugin wrote profile artifacts
+    with trace(None):                # no-op path
+        pass
+    assert not (tmp_path / "none").exists()
+
+
 def test_robustness_tool(tmp_path, rng, capsys):
     import sys
     sys.path.insert(0, "tools")
