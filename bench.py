@@ -69,15 +69,17 @@ def main() -> int:
                         help="capture a jax.profiler trace into this dir")
     parser.add_argument("--batch", type=int, default=BATCH,
                         help="frames per dispatch")
-    parser.add_argument("--cache-dir", default="/tmp/wm_jax_cache",
-                        help="persistent compile cache ('' disables); "
-                             "compiles happen before the timed windows, so "
-                             "this only saves wall time")
+    parser.add_argument("--cache-dir", default=None,
+                        help="persistent compile cache ('' disables; "
+                             "default: per-user temp dir); compiles happen "
+                             "before the timed windows, so this only saves "
+                             "wall time")
     args = parser.parse_args()
     BATCH = args.batch
-    if args.cache_dir:
-        from watermarking_gpu_tpu.utils import enable_compilation_cache
-        enable_compilation_cache(args.cache_dir)
+    if args.cache_dir != "":
+        from watermarking_gpu_tpu.utils import (default_cache_dir,
+                                                enable_compilation_cache)
+        enable_compilation_cache(args.cache_dir or default_cache_dir())
     impl = default_impl()
     frames = jax.device_put(load_frames())
     watermark = jax.device_put(

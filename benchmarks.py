@@ -225,12 +225,14 @@ def main():
     parser.add_argument("--out", default="BENCH_SWEEP.json")
     parser.add_argument("--quick", action="store_true",
                         help="512 + 1080p only, fewer iterations")
-    parser.add_argument("--cache-dir", default="/tmp/wm_jax_cache",
-                        help="persistent compile cache ('' disables)")
+    parser.add_argument("--cache-dir", default=None,
+                        help="persistent compile cache ('' disables; "
+                             "default: per-user temp dir)")
     args = parser.parse_args()
-    if args.cache_dir:
-        from watermarking_gpu_tpu.utils import enable_compilation_cache
-        enable_compilation_cache(args.cache_dir)
+    if args.cache_dir != "":
+        from watermarking_gpu_tpu.utils import (default_cache_dir,
+                                                enable_compilation_cache)
+        enable_compilation_cache(args.cache_dir or default_cache_dir())
 
     impl = default_impl()
     report = {"impl": impl, "device": str(jax.devices()[0]), "results": {}}

@@ -87,17 +87,28 @@ def test_concurrent_submitters(engine, frames):
 
 def test_serving_u8_ingest_and_warmup(engine, frames):
     """uint8 submissions (video lumas) ride the narrow transfer path and
-    match f32 results; warmup() pre-compiles the batch shape."""
+    match f32 results; warmup() pre-compiles BOTH ingest dtypes so neither
+    uint8 nor float traffic ever hits a cold compile; close() is
+    idempotent and a repeated close blocks until workers are gone."""
+    from watermarking_gpu_tpu.models.masks import MaskType as MT
     u8 = frames.astype(np.uint8)
     direct = np.asarray(engine.detect(u8[:4].astype(np.float32),
                                       MaskType.ME))
     service = DetectorService(engine, batch_size=4)
     try:
         service.warmup()
+        fn = engine._fn_cache[("batch_detect", MT.ME, engine.impl)]
+        compiles_after_warmup = fn._cache_size()
         futures = [service.submit(f) for f in u8[:4]]
         got = [f.result(timeout=60) for f in futures]
+        f32_future = service.submit(frames[0])
+        assert np.isfinite(f32_future.result(timeout=60))
+        # u8 and f32 programs were both warmed: live traffic added none
+        assert fn._cache_size() == compiles_after_warmup
     finally:
         service.close()
+        service.close()   # second close: blocks until joined, no error
+    assert not service._dispatcher.is_alive()
     np.testing.assert_allclose(got, direct, atol=1e-5)
 
 

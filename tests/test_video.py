@@ -151,6 +151,19 @@ def test_detect_remainder_batch_reuses_compile(clip):
     assert fn._cache_size() == 1
 
 
+def test_oversized_video_rejected(fake_ffmpeg):
+    """Streams beyond the kernel bounds fail with the reference-style
+    message, not a raw VMEM compile error (cli guard parity for video)."""
+    import os
+    root, clip_path, wm_path = fake_ffmpeg
+    ffprobe = os.environ["WM_FFPROBE"]
+    text = open(ffprobe).read().replace(f'"width": {W}', '"width": 20000')
+    open(ffprobe, "w").write(text)
+    det = make_settings(root, "input.mp4", wm_path, raw_video_size="")
+    with pytest.raises(RuntimeError, match="dimensions too high"):
+        detect_video(det, out=io.StringIO())
+
+
 def test_encoder_death_fails_cleanly(fake_ffmpeg, tmp_path):
     """A dying encoder child (EPIPE mid-stream) surfaces as an IOError
     instead of silently dropping frames; sources/sinks still close."""

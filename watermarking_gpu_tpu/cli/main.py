@@ -23,11 +23,6 @@ from ..ops import rgb_to_gray
 from ..utils.timing import Timer, execution_time
 
 MIN_DIM = 64  # main.cpp:161
-# max-dims guard (TPU analog of the reference's texture-size check,
-# main.cpp:162): width bound from the fused kernels' VMEM strip budget,
-# row bound from HBM (padded f32 copies of a 16384-row frame at max width
-# stay well under one v5e chip's 16 GB).
-MAX_ROWS = 16384
 
 
 def _select_device(index: int):
@@ -60,7 +55,7 @@ def test_for_image(settings: Settings) -> int:
     if rows < MIN_DIM or cols < MIN_DIM:
         print("Image dimensions too low")
         return 1
-    from ..ops.pallas.fused import max_supported_cols
+    from ..ops.pallas.fused import MAX_ROWS, max_supported_cols
     # p != 3 runs NVF-only (wider halos shrink the width bound at p=9)
     mask_for_bound = "me" if settings.p == 3 else "nvf"
     if rows > MAX_ROWS or cols > max_supported_cols(mask_for_bound,

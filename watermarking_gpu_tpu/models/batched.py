@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.pipelines import detect_pipeline, embed_pipeline
 from .masks import MaskType
@@ -42,6 +43,18 @@ def batch_detect(images: jnp.ndarray, watermark: jnp.ndarray,
     """Detector correlations for (B, H, W) frames -> (B,) scalars."""
     return detect_pipeline(images, watermark, mask_type=mask_type, p=p,
                            impl=impl, watermark_padded=watermark_padded)
+
+
+def pad_to_batch(stack: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad a partial (B, ...) stack to ``batch_size`` frames by repeating
+    the last real frame, so every dispatch reuses the one compiled
+    (batch, H, W) program; callers slice results back to the real count.
+    Shared by the serving and video batchers.
+    """
+    short = batch_size - stack.shape[0]
+    if short <= 0:
+        return stack
+    return np.concatenate([stack, np.repeat(stack[-1:], short, axis=0)])
 
 
 def batch_embed_luma_u8(lumas: jnp.ndarray, watermark: jnp.ndarray,

@@ -85,6 +85,12 @@ def pipeline_geometry(rows: int, cols: int, mask_type: str,
     return pad, strip, rows_padded
 
 
+# row bound of the max-dims guard (TPU analog of the reference's
+# CL_DEVICE_IMAGE2D_MAX_HEIGHT check): padded f32 copies of a 16384-row
+# frame at max width stay well under one v5e chip's 16 GB HBM
+MAX_ROWS = 16384
+
+
 def max_supported_cols(mask_type: str = "me", p: int = 3) -> int:
     """Largest image width the fused strip kernels support.
 

@@ -20,7 +20,7 @@ from concurrent.futures import Future
 
 import numpy as np
 
-from .models.batched import BatchedWatermark
+from .models.batched import BatchedWatermark, pad_to_batch
 from .models.masks import MaskType
 
 
@@ -97,10 +97,7 @@ class _BatchingService:
         futures, frames = zip(*items)
         real = len(frames)
         try:
-            stack = np.stack(frames)
-            if real < self.batch_size:  # pad to the compiled batch shape
-                fill = np.repeat(stack[-1:], self.batch_size - real, axis=0)
-                stack = np.concatenate([stack, fill], axis=0)
+            stack = pad_to_batch(np.stack(frames), self.batch_size)
             device_result = self._run_batch(stack)   # async dispatch
         except Exception as exc:  # trace/shape errors must not hang callers
             for future in futures:
@@ -127,19 +124,23 @@ class _BatchingService:
 
     # -- public -------------------------------------------------------------
 
-    def warmup(self, dtype=np.uint8) -> None:
-        """Compile the batch-shaped program before taking traffic.
+    def warmup(self, dtypes=(np.uint8, np.float32)) -> None:
+        """Compile the batch-shaped programs before taking traffic.
 
-        The first dispatch of a new (batch, H, W) shape compiles for
-        minutes on TPU; production services call this once at startup so no
-        request ever waits on a compile. Uses the ingest dtype (uint8 by
-        default, matching video lumas).
+        The first dispatch of a new (batch, H, W, dtype) combination
+        compiles for minutes on TPU; production services call this once at
+        startup so no request ever waits on a compile. Submissions only
+        ever reach the device as uint8 (video lumas, passed through) or
+        float32 (everything else, via the engine's cast), so warming both
+        covers all traffic.
         """
-        stack = np.zeros((self.batch_size, self.engine.rows,
-                          self.engine.cols), dtype=dtype)
-        result = self._run_batch(stack)
-        for leaf in (result if isinstance(result, tuple) else (result,)):
-            np.asarray(leaf)
+        for dtype in dtypes:
+            stack = np.zeros((self.batch_size, self.engine.rows,
+                              self.engine.cols), dtype=dtype)
+            result = self._run_batch(stack)
+            for leaf in (result if isinstance(result, tuple)
+                         else (result,)):
+                np.asarray(leaf)
 
     def submit(self, image: np.ndarray) -> Future:
         frame = np.ascontiguousarray(image)
@@ -152,10 +153,12 @@ class _BatchingService:
 
     def close(self):
         with self._close_lock:
-            if self._closed:
-                return
-            self._closed = True
-            self._submissions.put(None)
+            if not self._closed:
+                self._closed = True
+                self._submissions.put(None)
+        # every closer (including concurrent/repeated ones) blocks until
+        # the workers have fully drained — a second close() returning early
+        # would let its caller observe a "closed" service mid-dispatch
         self._dispatcher.join()
         self._collector.join()
 

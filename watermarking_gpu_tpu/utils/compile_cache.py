@@ -14,7 +14,19 @@ Enable via ``[options] compilation_cache_dir`` in settings.ini, or call
 
 from __future__ import annotations
 
+import getpass
 import os
+import tempfile
+
+
+def default_cache_dir() -> str:
+    """Per-user default cache path (a world-shared /tmp path would let one
+    user's cache poison or permission-block another's)."""
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid()) if hasattr(os, "getuid") else "user"
+    return os.path.join(tempfile.gettempdir(), f"wm_jax_cache_{user}")
 
 
 def enable_compilation_cache(path: "str | os.PathLike",

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..io.config import Settings
 from ..models import MaskType
-from ..models.batched import BatchedWatermark
+from ..models.batched import BatchedWatermark, pad_to_batch
 from ..utils.timing import execution_time
 from . import ffmpeg as ff
 from .pump import FrameReader, FrameWriter
@@ -118,6 +118,17 @@ class FrameSink:
 _EMBED_BATCH_BUDGET_BYTES = 128 * 1024 * 1024
 
 
+def _check_video_dims(width: int, height: int) -> None:
+    """Max-dims guard for video geometry — same bound the image path
+    enforces (cli/main.py; TPU analog of the reference's texture-size
+    check), raised here so an oversized stream fails with a clear message
+    instead of a raw VMEM compile error. Video is always ME/p=3."""
+    from ..ops.pallas.fused import MAX_ROWS, max_supported_cols
+
+    if height > MAX_ROWS or width > max_supported_cols("me", 3):
+        raise RuntimeError("Image dimensions too high for this device")
+
+
 def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
                 out=None) -> int:
     """Watermark every interval-th frame; stream everything to the sink.
@@ -131,6 +142,11 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
     """
     out = sys.stdout if out is None else out
     source = FrameSource(settings)
+    try:
+        _check_video_dims(source.width, source.height)
+    except Exception:
+        source.close()
+        raise
     sink = FrameSink(settings, source)
     interval = settings.watermark_interval
     width, height = source.width, source.height
@@ -152,11 +168,9 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
         if not items:
             return
         real = len(items)
-        lumas = np.stack([split_planes(f, width, height)[0]
-                          for f, _ in items])
-        if real < batch_size:   # pad: every dispatch reuses the one compiled
-            lumas = np.concatenate(  # (batch, H, W) program shape
-                [lumas, np.repeat(lumas[-1:], batch_size - real, axis=0)])
+        lumas = pad_to_batch(
+            np.stack([split_planes(f, width, height)[0] for f, _ in items]),
+            batch_size)
         marked, _ = engine.embed_luma_u8(lumas, MaskType.ME)  # async
         pending.append((real, items, marked))
         items = []
@@ -207,6 +221,11 @@ def detect_video(settings: Settings, engine: BatchedWatermark | None = None,
     """Print per-sampled-frame detector correlations (reference format)."""
     out = sys.stdout if out is None else out
     source = FrameSource(settings)
+    try:
+        _check_video_dims(source.width, source.height)
+    except Exception:
+        source.close()
+        raise
     interval = settings.watermark_interval
     batch_size = max(1, settings.detect_batch)
     if engine is None:
@@ -224,11 +243,9 @@ def detect_video(settings: Settings, engine: BatchedWatermark | None = None,
         nonlocal batch_ids, batch_lumas
         if not batch_lumas:
             return
-        stack = np.stack(batch_lumas)   # uint8: 1 byte/pixel over the link
-        if len(batch_lumas) < batch_size:   # pad the remainder batch so the
-            stack = np.concatenate(         # compiled (B, H, W) shape reuses
-                [stack, np.repeat(stack[-1:], batch_size - len(batch_lumas),
-                                  axis=0)])
+        # uint8 lumas: 1 byte/pixel over the link; remainder batches pad to
+        # the one compiled (B, H, W) program shape
+        stack = pad_to_batch(np.stack(batch_lumas), batch_size)
         corr = engine.detect(stack, MaskType.ME)
         pending.append((batch_ids, corr))
         batch_ids, batch_lumas = [], []
