@@ -131,7 +131,7 @@ struct Writer {
 extern "C" {
 
 void* wmp_reader_open(int fd, size_t frame_bytes, int depth) {
-    auto* r = new Reader{fd, frame_bytes};
+    auto* r = new Reader{fd, frame_bytes, {}, {}};
     for (int i = 0; i < depth; i++)
         r->ring.empty.emplace_back(frame_bytes);
     r->thread = std::thread([r] { r->run(); });
@@ -167,7 +167,7 @@ void wmp_reader_close(void* handle) {
 }
 
 void* wmp_writer_open(int fd, size_t frame_bytes, int depth) {
-    auto* w = new Writer{fd, frame_bytes};
+    auto* w = new Writer{fd, frame_bytes, {}, {}};
     for (int i = 0; i < depth; i++)
         w->ring.empty.emplace_back(frame_bytes);
     w->thread = std::thread([w] { w->run(); });

@@ -123,6 +123,27 @@ for _i, (_a, _b) in enumerate(_PAIRS):
     _PAIR_INDEX[_b, _a] = _i
 
 
+def _block_row(img: jnp.ndarray, row: int, cache: dict) -> jnp.ndarray:
+    """(B, W) row ``row`` of img, sliced via an 8-aligned row *block*.
+
+    A direct ``img[:, row, :]`` makes XLA relayout-copy the ENTIRE image
+    ({2,0,1} transposition, ~0.21 ms per 8x1080p batch — 8% of the round
+    trip) just to serve four boundary rows. Slicing a sublane-tile-aligned
+    block keeps the default layout (a cheap strided DMA); the single-row
+    slice then happens on the small (B, <=8, W) block.
+    """
+    start = row // 8 * 8  # stays 8-aligned; the slice clamps a ragged tail
+    block = cache.get(start)
+    if block is None:
+        block = cache[start] = img[:, start:start + 8, :]
+    # pick the row by one-hot reduction, NOT block[:, i, :]: a slice on the
+    # sublane dim makes XLA's layout assignment demand (and back-propagate)
+    # the {2,0,1} layout all the way to the image parameter
+    onehot = jnp.zeros((block.shape[1], 1), jnp.float32).at[row - start].set(
+        1.0)
+    return jnp.sum(block * onehot, axis=1)
+
+
 def padded_row_provider(img_p: jnp.ndarray, pad: int, cols: int):
     """row_of(j) -> (B, cols+6) image row j, lanes = image cols [-3, W+3).
 
@@ -130,17 +151,20 @@ def padded_row_provider(img_p: jnp.ndarray, pad: int, cols: int):
     on a single chip, true neighbor rows under spatial sharding (where the
     halo exchange splices them into the padding region).
     """
+    blocks: dict = {}
+
     def row_of(j: int) -> jnp.ndarray:
-        return img_p[:, pad + j, pad - 3 : pad + cols + 3]
+        return _block_row(img_p, pad + j, blocks)[:, pad - 3:pad + cols + 3]
     return row_of
 
 
 def raw_row_provider(img: jnp.ndarray):
     """row_of(j) from the raw (B, H, W) image: clamp rows, edge-pad cols."""
     rows = img.shape[-2]
+    blocks: dict = {}
 
     def row_of(j: int) -> jnp.ndarray:
-        row = img[:, min(max(j, 0), rows - 1), :]
+        row = _block_row(img, min(max(j, 0), rows - 1), blocks)
         return jnp.pad(row, [(0, 0), (3, 3)], mode="edge")
     return row_of
 
