@@ -85,12 +85,18 @@ def main() -> int:
     watermark = jax.device_put(
         generate_watermark(ROWS, COLS, seed=28390211).astype(np.float32))
     sf = strength_factor(40.0)
+    # engine-style call-invariant padded watermark (pad copy paid once,
+    # not inside every step — what Watermark/BatchedWatermark also do)
+    from watermarking_gpu_tpu.ops.pipelines import precompute_padded_watermark
+    wm_p = (precompute_padded_watermark(watermark, "me")
+            if impl == "pallas" else None)
 
     @jax.jit
     def step(frames_in, wm):
         watermarked, _ = batch_embed(frames_in, frames_in, wm, sf, "me",
-                                     impl=impl)
-        return watermarked, batch_detect(watermarked, wm, "me", impl=impl)
+                                     impl=impl, watermark_padded=wm_p)
+        return watermarked, batch_detect(watermarked, wm, "me", impl=impl,
+                                         watermark_padded=wm_p)
 
     # warm-up: compile + establish the harness's D2H channel
     marked, corr = step(frames, watermark)

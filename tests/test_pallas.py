@@ -166,6 +166,35 @@ def test_raw_mode_matches_oracle(rng):
     # including a masked one (1048 pads to 1056: last-strip realignment)
 
 
+def test_precomputed_padded_watermark_identical(rng):
+    """Passing the engine-style pre-padded watermark (pad copy paid once)
+    is bit-identical to letting the pipeline pad per call — both on a
+    raw-capable geometry and on one where raw mode does not apply
+    (precompute returns None there)."""
+    from watermarking_gpu_tpu.ops.pipelines import (
+        detect_pipeline, embed_pipeline, precompute_padded_watermark)
+
+    saw_padded = saw_none = False
+    for rows, cols in [(512, 256), (17, 131)]:
+        img = jnp.asarray(np.clip(rng.normal(128, 40, (rows, cols)), 0,
+                                  255).astype(np.float32))
+        wm = jnp.asarray(rng.normal(size=(rows, cols)).astype(np.float32))
+        wm_p = precompute_padded_watermark(wm, "me")
+        saw_padded |= wm_p is not None
+        saw_none |= wm_p is None
+        base = detect_pipeline(img, wm, "me", impl="pallas")
+        with_p = detect_pipeline(img, wm, "me", impl="pallas",
+                                 watermark_padded=wm_p)
+        assert float(base) == float(with_p)
+        base_o, base_s = embed_pipeline(img, img, wm, 2.55, "me",
+                                        impl="pallas")
+        got_o, got_s = embed_pipeline(img, img, wm, 2.55, "me",
+                                      impl="pallas", watermark_padded=wm_p)
+        assert float(base_s) == float(got_s)
+        np.testing.assert_array_equal(np.asarray(base_o), np.asarray(got_o))
+    assert saw_padded and saw_none
+
+
 @pytest.mark.parametrize("p", [5, 7, 9])
 def test_fused_nvf_wide_windows(rng, p):
     """Fused NVF pipelines at p in {5,7,9}: wider halos through both the

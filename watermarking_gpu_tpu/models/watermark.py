@@ -106,15 +106,9 @@ class Watermark:
             return None
         key = ("wm_p", mask_type, self.rows, self.cols)
         if key not in self._fn_cache:
-            from ..ops.pallas.common import RAW_PAD, pad_image, raw_mode_ok
-            from ..ops.pallas.fused import pipeline_geometry
-
-            _, strip, rows_padded = pipeline_geometry(
-                self.rows, self.cols, mask_type.value, self.p)
-            self._fn_cache[key] = (
-                jax.jit(pad_image, static_argnums=(1, 2))(
-                    self.random_matrix, RAW_PAD, rows_padded)
-                if raw_mode_ok(self.rows, strip, rows_padded) else None)
+            from ..ops.pipelines import precompute_padded_watermark
+            self._fn_cache[key] = precompute_padded_watermark(
+                self.random_matrix, mask_type.value, self.p)
         return self._fn_cache[key]
 
     def _resolve_watermark(self, watermark) -> np.ndarray:
