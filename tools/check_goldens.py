@@ -15,8 +15,18 @@ Tolerances: the goldens were recorded from the f32 XLA oracle on CPU; the
 independent float64 oracle (tests/oracle_vec.py) sits within 7.6e-4 of
 them, which brackets the f32 reduction-order noise the goldens themselves
 carry. Cross-backend/cross-impl agreement within 1e-3 absolute
-(correlations) / 1e-3 relative (strengths) is therefore the expected
-class; the reference's own fp16 Rx staging is ~1e-3 on its own.
+(correlations) is the expected class; the reference's own fp16 Rx staging
+is ~1e-3 on its own.
+
+The ME *strength* gets a wider relative tolerance (4e-3): the Gram system
+is ill-conditioned (cond(Rx) ~ 1.5e4 on the bundled 480p/720p samples),
+so backend-dependent f32 reduction order in the Gram accumulation
+(~2e-5 relative, measured TPU vs f64) amplifies to ~6e-3 relative in the
+coefficients — on EVERY f32 implementation, including the CPU goldens
+themselves (the f64-solve-on-f32-gram control shows the solve adds
+nothing; the gram representation is the noise floor). Strength inherits
+~2e-3 of that through max|e| and ||mask * W||; the detector correlation is
+insensitive (passes at <=1e-3 on every backend/impl combination).
 
 Usage: python tools/check_goldens.py [--impl xla|pallas|both]
 """
@@ -39,7 +49,7 @@ CASES = {
              720, 1280),
 }
 CORR_TOL = 1e-3
-STRENGTH_RTOL = 1e-3
+STRENGTH_RTOL = {"nvf": 1e-3, "me": 4e-3}  # see module docstring
 
 
 def main() -> int:
@@ -82,7 +92,7 @@ def main() -> int:
                 d_s = abs(float(strength) / want["strength"] - 1.0)
                 d_c = abs(float(corr) - want["correlation"])
                 d_cl = abs(float(clean) - want["clean_correlation"])
-                ok = (d_s <= STRENGTH_RTOL and d_c <= CORR_TOL
+                ok = (d_s <= STRENGTH_RTOL[mask_type] and d_c <= CORR_TOL
                       and d_cl <= CORR_TOL)
                 failures += not ok
                 print(f"{impl:6s} {name:5s} {mask_type:3s}  "
