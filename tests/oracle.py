@@ -16,9 +16,13 @@ def clamp_get(img: np.ndarray, r: int, c: int) -> float:
     return img[min(max(r, 0), h - 1), min(max(c, 0), w - 1)]
 
 
-NEIGHBOR_OFFSETS = [(-1, -1), (-1, 0), (-1, 1),
-                    (0, -1), (0, 1),
-                    (1, -1), (1, 0), (1, 1)]
+def neighbor_offsets(p: int = 3):
+    half = p // 2
+    return [(dr, dc) for dr in range(-half, half + 1)
+            for dc in range(-half, half + 1) if (dr, dc) != (0, 0)]
+
+
+NEIGHBOR_OFFSETS = neighbor_offsets(3)
 
 
 def nvf_mask(img: np.ndarray, p: int = 3) -> np.ndarray:
@@ -37,37 +41,38 @@ def nvf_mask(img: np.ndarray, p: int = 3) -> np.ndarray:
     return out
 
 
-def neighbors_of(img: np.ndarray, r: int, c: int) -> np.ndarray:
+def neighbors_of(img: np.ndarray, r: int, c: int, p: int = 3) -> np.ndarray:
     return np.asarray(
-        [clamp_get(img, r + dr, c + dc) for dr, dc in NEIGHBOR_OFFSETS],
+        [clamp_get(img, r + dr, c + dc) for dr, dc in neighbor_offsets(p)],
         dtype=np.float64)
 
 
-def me_normal_equations(img: np.ndarray):
+def me_normal_equations(img: np.ndarray, p: int = 3):
     h, w = img.shape
-    rx_m = np.zeros((8, 8), dtype=np.float64)
-    rx_v = np.zeros(8, dtype=np.float64)
+    k = p * p - 1
+    rx_m = np.zeros((k, k), dtype=np.float64)
+    rx_v = np.zeros(k, dtype=np.float64)
     for r in range(h):
         for c in range(w):
-            n = neighbors_of(img, r, c)
+            n = neighbors_of(img, r, c, p)
             rx_m += np.outer(n, n)
             rx_v += n * img[r, c]
     return rx_m, rx_v
 
 
-def predict(img: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
+def predict(img: np.ndarray, coeffs: np.ndarray, p: int = 3) -> np.ndarray:
     h, w = img.shape
     out = np.zeros((h, w), dtype=np.float64)
     for r in range(h):
         for c in range(w):
-            out[r, c] = float(np.dot(coeffs, neighbors_of(img, r, c)))
+            out[r, c] = float(np.dot(coeffs, neighbors_of(img, r, c, p)))
     return out
 
 
-def me_mask_and_error(img: np.ndarray):
-    rx_m, rx_v = me_normal_equations(img)
+def me_mask_and_error(img: np.ndarray, p: int = 3):
+    rx_m, rx_v = me_normal_equations(img, p)
     coeffs = np.linalg.solve(rx_m, rx_v)
-    err = img - predict(img, coeffs)
+    err = img - predict(img, coeffs, p)
     mask = np.abs(err) / np.abs(err).max()
     return mask, err, coeffs
 
@@ -91,13 +96,16 @@ def correlation(e_u: np.ndarray, e_z: np.ndarray) -> float:
 
 def detect(img: np.ndarray, watermark: np.ndarray, mask_type: str,
            p: int = 3) -> float:
-    rx_m, rx_v = me_normal_equations(img)
+    # Predictor window: p for the generalized ME mask; the NVF detector
+    # keeps the fixed 3x3 predictor (p sizes only the variance window).
+    pred_p = p if mask_type == "me" else 3
+    rx_m, rx_v = me_normal_equations(img, pred_p)
     coeffs = np.linalg.solve(rx_m, rx_v)
-    e_z = img - predict(img, coeffs)
+    e_z = img - predict(img, coeffs, pred_p)
     if mask_type == "me":
         mask = np.abs(e_z) / np.abs(e_z).max()
     else:
         mask = nvf_mask(img, p)
     u = mask * watermark
-    e_u = u - predict(u, coeffs)
+    e_u = u - predict(u, coeffs, pred_p)
     return correlation(e_u, e_z)

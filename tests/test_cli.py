@@ -100,24 +100,26 @@ def test_cli_bad_p(tmp_path, ini, capsys):
     assert "p parameter must be one of 3, 5, 7, 9" in capsys.readouterr().out
 
 
-def test_cli_nvf_only_p5(tmp_path, ini, capsys):
-    """p in {5,7,9} runs the NVF-only image flow (ME needs p=3)."""
+def test_cli_p5_runs_generalized_me(tmp_path, ini, capsys):
+    """p in {5,7,9} runs BOTH masks: NVF with the wide fused window, ME with
+    the generalized (p*p-1)-tap predictor the reference TODO'd away
+    (main.cpp:88-89) — with a NOTE announcing the extension."""
     path, img_path = ini
     text = open(path).read().replace("p = 3", "p = 5")
     ini5 = tmp_path / "p5.ini"
     ini5.write_text(text)
     assert cli.main([str(ini5)]) == 0
     out = capsys.readouterr().out
-    assert "running NVF-only tests" in out
+    assert "generalized 24-tap predictor" in out
     assert "Correlation [NVF]:" in out
-    assert "Correlation [ME]:" not in out
+    assert "Correlation [ME]:" in out
     root, ext = os.path.splitext(img_path)
     assert os.path.exists(f"{root}_W_NVF{ext}")
-    assert not os.path.exists(f"{root}_W_ME{ext}")
+    assert os.path.exists(f"{root}_W_ME{ext}")
 
 
-def test_cli_video_p5_rejected(tmp_path, rng, capsys):
-    """Video mode is ME-only, so p != 3 keeps the reference guard."""
+def test_cli_video_p5(tmp_path, rng, capsys):
+    """Video mode (ME mask) works at p=5 through the generalized predictor."""
     from watermarking_gpu_tpu.video import synthesize
     clip = tmp_path / "clip.yuv"
     clip.write_bytes(synthesize(128, 96, 2, seed=1))
@@ -135,10 +137,13 @@ psnr = 40.0
 
 [parameters_video]
 watermark_detection = true
+watermark_interval = 1
 raw_video_size = 128x96
 """)
-    assert cli.main([str(ini)]) == 1
-    assert "only p=3" in capsys.readouterr().out
+    assert cli.main([str(ini)]) == 0
+    out = capsys.readouterr().out
+    assert "Correlation for frame: 0:" in out
+    assert "Correlation for frame: 1:" in out
 
 
 def test_cli_image_too_wide(tmp_path, ini, capsys, rng):

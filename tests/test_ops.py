@@ -26,9 +26,13 @@ def test_neighbor_stack_clamps_edges(small_image):
                                                       r + dr, c + dc)
 
 
-def test_me_normal_equations_match_oracle(small_image):
-    rx_m, rx_v = ops.me_normal_equations(jnp.asarray(small_image))
-    want_m, want_v = oracle.me_normal_equations(small_image)
+@pytest.mark.parametrize("p", [3, 5])
+def test_me_normal_equations_match_oracle(small_image, p):
+    """p=3 is the reference predictor; p=5 is the generalized 24-tap
+    extension the reference TODO'd away (main.cpp:88-89)."""
+    rx_m, rx_v = ops.me_normal_equations(jnp.asarray(small_image), p)
+    want_m, want_v = oracle.me_normal_equations(small_image, p)
+    assert rx_m.shape == (p * p - 1, p * p - 1)
     # f32 accumulation over N pixels vs the f64 oracle: ~1e-5 relative,
     # within the 1e-4 parity budget (BASELINE.md)
     np.testing.assert_allclose(np.asarray(rx_m), want_m, rtol=1e-4)
@@ -37,14 +41,15 @@ def test_me_normal_equations_match_oracle(small_image):
     np.testing.assert_allclose(np.asarray(rx_m), np.asarray(rx_m).T, rtol=1e-6)
 
 
-def test_prediction_and_mask_match_oracle(small_image):
-    want_mask, want_err, want_coeffs = oracle.me_mask_and_error(small_image)
-    rx_m, rx_v = ops.me_normal_equations(jnp.asarray(small_image))
+@pytest.mark.parametrize("p", [3, 5])
+def test_prediction_and_mask_match_oracle(small_image, p):
+    want_mask, want_err, want_coeffs = oracle.me_mask_and_error(small_image, p)
+    rx_m, rx_v = ops.me_normal_equations(jnp.asarray(small_image), p)
     coeffs, valid = ops.solve_coefficients(rx_m, rx_v)
     assert bool(valid)
     np.testing.assert_allclose(np.asarray(coeffs), want_coeffs,
                                rtol=5e-3, atol=5e-4)
-    err = ops.prediction_error(jnp.asarray(small_image), coeffs)
+    err = ops.prediction_error(jnp.asarray(small_image), coeffs, p)
     np.testing.assert_allclose(np.asarray(err), want_err, rtol=2e-2, atol=2e-2)
     mask = ops.me_mask_from_error(err)
     np.testing.assert_allclose(np.asarray(mask), want_mask, atol=2e-3)

@@ -195,6 +195,21 @@ def test_precomputed_padded_watermark_identical(rng):
     assert saw_padded and saw_none
 
 
+def test_pallas_me_rejects_wide_window(rng):
+    """The fused kernels implement the 8-tap (p=3) predictor; requesting the
+    generalized ME window through impl='pallas' is a clear error (engines
+    route it to the XLA path instead — Watermark._impl_for)."""
+    from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
+                                                    embed_pipeline)
+
+    img = jnp.asarray(rng.normal(128, 30, (72, 96)).astype(np.float32))
+    wm = jnp.asarray(rng.normal(size=(72, 96)).astype(np.float32))
+    with pytest.raises(ValueError, match="p=3 only"):
+        detect_pipeline(img, wm, "me", p=5, impl="pallas")
+    with pytest.raises(ValueError, match="p=3 only"):
+        embed_pipeline(img, img, wm, 2.55, "me", p=5, impl="pallas")
+
+
 @pytest.mark.parametrize("p", [5, 7, 9])
 def test_fused_nvf_wide_windows(rng, p):
     """Fused NVF pipelines at p in {5,7,9}: wider halos through both the

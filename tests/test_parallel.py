@@ -222,3 +222,25 @@ def test_halo_larger_than_shard_rejected(frames, watermark32):
     fn = make_spatial_detect(mesh, "nvf", p=9, impl="pallas")
     with pytest.raises(ValueError, match="halo"):
         fn(shard_rows(mesh, img), shard_rows(mesh, wm))
+
+
+def test_generalized_me_dp_matches_single(frames, watermark32):
+    """ME at p=5 (the generalized predictor, beyond the reference) shards
+    data-parallel on the XLA path and matches the unsharded pipeline."""
+    mesh = make_mesh(data=8)
+    ref = batch_detect(jnp.asarray(frames), jnp.asarray(watermark32), "me",
+                       p=5, impl="xla")
+    fn = make_dp_detect(mesh, "me", p=5, impl="xla")
+    got = fn(shard_frames(mesh, jnp.asarray(frames)),
+             replicate(mesh, jnp.asarray(watermark32)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_generalized_me_spatial_rejected(watermark32):
+    """The spatially-sharded analysis implements the p=3 predictor; ME at
+    p>3 fails loudly at factory time."""
+    mesh = make_mesh(data=1, space=2)
+    with pytest.raises(ValueError, match="p=3 only"):
+        make_spatial_detect(mesh, "me", p=5)
+    with pytest.raises(ValueError, match="p=3 only"):
+        make_spatial_embed(mesh, "me", SF, 32, 64, p=5)

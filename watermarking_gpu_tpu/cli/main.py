@@ -56,7 +56,9 @@ def test_for_image(settings: Settings) -> int:
         print("Image dimensions too low")
         return 1
     from ..ops.pallas.fused import MAX_ROWS, max_supported_cols
-    # p != 3 runs NVF-only (wider halos shrink the width bound at p=9)
+    # the VMEM width bound applies to the fused Pallas kernels; at p != 3
+    # those run NVF only (ME takes the XLA path), and the wider NVF halos
+    # shrink the bound at p=9
     mask_for_bound = "me" if settings.p == 3 else "nvf"
     if rows > MAX_ROWS or cols > max_supported_cols(mask_for_bound,
                                                     settings.p):
@@ -65,15 +67,17 @@ def test_for_image(settings: Settings) -> int:
 
     engine = Watermark(rows, cols, settings.watermark, p=settings.p,
                        psnr=settings.psnr)
-    run_me = settings.p == 3  # the ME predictor is 8-tap (p=3 only)
-    if not run_me:
-        print("NOTE: the prediction-error (ME) mask requires p = 3; "
-              "running NVF-only tests\n")
+    if settings.p != 3:
+        # capability beyond the reference, which rejects ME at p != 3
+        # (main.cpp:88-89 "TODO for p>3 we have problems with ME masking
+        # buffers"); the generalized predictor runs on the XLA path
+        print(f"NOTE: ME at p = {settings.p} uses the generalized "
+              f"{settings.p * settings.p - 1}-tap predictor "
+              f"(reference supports p = 3 only)\n")
 
     # warm-up (compilation) as the reference warms ArrayFire (main.cpp:168-170)
     jax.block_until_ready(engine.embed(image, rgb, MaskType.NVF)[0])
-    if run_me:
-        jax.block_until_ready(engine.embed(image, rgb, MaskType.ME)[0])
+    jax.block_until_ready(engine.embed(image, rgb, MaskType.ME)[0])
 
     def timed(fn):
         """Average seconds per call over `loops` iterations.
@@ -110,21 +114,19 @@ def test_for_image(settings: Settings) -> int:
           f"and parameters:\np = {settings.p}  PSNR(dB) = {settings.psnr}\n"
           f"{execution_time(show_fps, secs)}\n")
 
-    if run_me:
-        (watermark_me, strength_me), secs = timed(
-            lambda: engine.embed(image, rgb, MaskType.ME))
-        print(f"Watermark strength (parameter a): {float(strength_me)}\n"
-              f"Calculation of ME mask with {rows} rows and {cols} columns "
-              f"and parameters:\np = {settings.p}  PSNR(dB) = {settings.psnr}\n"
-              f"{execution_time(show_fps, secs)}\n")
-        watermarked_me_gray = rgb_to_gray(watermark_me)
+    (watermark_me, strength_me), secs = timed(
+        lambda: engine.embed(image, rgb, MaskType.ME))
+    print(f"Watermark strength (parameter a): {float(strength_me)}\n"
+          f"Calculation of ME mask with {rows} rows and {cols} columns "
+          f"and parameters:\np = {settings.p}  PSNR(dB) = {settings.psnr}\n"
+          f"{execution_time(show_fps, secs)}\n")
+    watermarked_me_gray = rgb_to_gray(watermark_me)
 
     watermarked_nvf_gray = rgb_to_gray(watermark_nvf)
 
     # warm-up detection
     jax.block_until_ready(engine.detect(watermarked_nvf_gray, MaskType.NVF))
-    if run_me:
-        jax.block_until_ready(engine.detect(watermarked_me_gray, MaskType.ME))
+    jax.block_until_ready(engine.detect(watermarked_me_gray, MaskType.ME))
 
     correlation_nvf, secs = timed(
         lambda: engine.detect(watermarked_nvf_gray, MaskType.NVF))
@@ -133,26 +135,23 @@ def test_for_image(settings: Settings) -> int:
           f"p = {settings.p}  PSNR(dB) = {settings.psnr}\n"
           f"{execution_time(show_fps, secs)}\n")
 
-    if run_me:
-        correlation_me, secs = timed(
-            lambda: engine.detect(watermarked_me_gray, MaskType.ME))
-        print(f"Calculation of the watermark correlation (ME) of an image "
-              f"with {rows} rows and {cols} columns and parameters:\n"
-              f"p = {settings.p}  PSNR(dB) = {settings.psnr}\n"
-              f"{execution_time(show_fps, secs)}\n")
+    correlation_me, secs = timed(
+        lambda: engine.detect(watermarked_me_gray, MaskType.ME))
+    print(f"Calculation of the watermark correlation (ME) of an image "
+          f"with {rows} rows and {cols} columns and parameters:\n"
+          f"p = {settings.p}  PSNR(dB) = {settings.psnr}\n"
+          f"{execution_time(show_fps, secs)}\n")
 
     print(f"Correlation [NVF]: {float(correlation_nvf):.16f}")
-    if run_me:
-        print(f"Correlation [ME]: {float(correlation_me):.16f}")
+    print(f"Correlation [ME]: {float(correlation_me):.16f}")
 
     if settings.save_watermarked_files_to_disk:
         print("\nSaving watermarked files to disk...")
         save_image_u8(add_suffix_before_extension(settings.image, "_W_NVF"),
                       np.asarray(watermark_nvf))
-        if run_me:
-            save_image_u8(add_suffix_before_extension(settings.image,
-                                                      "_W_ME"),
-                          np.asarray(watermark_me))
+        save_image_u8(add_suffix_before_extension(settings.image,
+                                                  "_W_ME"),
+                      np.asarray(watermark_me))
         print("Successfully saved to disk")
     return 0
 
@@ -174,12 +173,6 @@ def main(argv: list[str] | None = None) -> int:
 
     if settings.p not in (3, 5, 7, 9):
         print("p parameter must be one of 3, 5, 7, 9")
-        return 1
-    if settings.p != 3 and settings.is_video_mode:
-        # the video path embeds/detects with the ME mask, whose 8-tap
-        # predictor is p=3 only — the reference guard (main.cpp:88-89);
-        # image mode falls back to NVF-only tests for p in {5, 7, 9}
-        print("For now, only p=3 is allowed")
         return 1
     if settings.psnr <= 0:
         print("PSNR must be a positive number")

@@ -82,15 +82,15 @@ class BatchedWatermark(Watermark):
     def embed(self, images, outputs=None,
               mask_type: "MaskType | str" = MaskType.ME):
         mask_type = MaskType.parse(mask_type)
-        self._check_me_window(mask_type)
         images = as_device_input(images)
         self._check_dims(images[0])
         outputs = images if outputs is None else as_device_input(outputs)
-        key = ("batch_embed", mask_type, self.impl)
+        impl = self._impl_for(mask_type)
+        key = ("batch_embed", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = jax.jit(partial(batch_embed, mask_type=mask_type.value,
-                                 p=self.p, impl=self.impl,
+                                 p=self.p, impl=impl,
                                  strength_factor_value=self.strength_factor))
             self._fn_cache[key] = fn
         return fn(images, outputs, self.random_matrix,
@@ -101,15 +101,15 @@ class BatchedWatermark(Watermark):
 
         Transfers stay uint8 both ways (see batch_embed_luma_u8)."""
         mask_type = MaskType.parse(mask_type)
-        self._check_me_window(mask_type)
         lumas = jnp.asarray(lumas)
         self._check_dims(lumas[0])
-        key = ("batch_embed_u8", mask_type, self.impl)
+        impl = self._impl_for(mask_type)
+        key = ("batch_embed_u8", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = jax.jit(partial(batch_embed_luma_u8,
                                  mask_type=mask_type.value,
-                                 p=self.p, impl=self.impl,
+                                 p=self.p, impl=impl,
                                  strength_factor_value=self.strength_factor))
             self._fn_cache[key] = fn
         return fn(lumas, self.random_matrix,
@@ -117,14 +117,14 @@ class BatchedWatermark(Watermark):
 
     def detect(self, images, mask_type: "MaskType | str" = MaskType.ME):
         mask_type = MaskType.parse(mask_type)
-        self._check_me_window(mask_type)
         images = as_device_input(images)
         self._check_dims(images[0])
-        key = ("batch_detect", mask_type, self.impl)
+        impl = self._impl_for(mask_type)
+        key = ("batch_detect", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = jax.jit(partial(batch_detect, mask_type=mask_type.value,
-                                 p=self.p, impl=self.impl))
+                                 p=self.p, impl=impl))
             self._fn_cache[key] = fn
         return fn(images, self.random_matrix,
                   watermark_padded=self._padded_watermark(mask_type))

@@ -60,8 +60,12 @@ class Watermark:
     rows, cols : image dimensions this engine is specialized for.
     watermark  : path to a raw float32 ``.dat`` file, a numpy/JAX array of
                  shape (rows, cols), or an integer seed to generate one.
-    p          : mask window size (3, 5, 7 or 9). The prediction-error mask
-                 supports p=3 (like the reference, ``main.cpp:88-89``).
+    p          : mask window size (3, 5, 7 or 9). The reference rejects
+                 p != 3 for the prediction-error mask (``main.cpp:88-89``,
+                 "TODO for p>3 we have problems with ME masking buffers");
+                 here ME generalizes to the (p*p-1)-tap predictor, running
+                 on the XLA path (the fused Pallas kernels implement p=3 —
+                 see ``_impl_for``). NVF runs fused kernels at every p.
     psnr       : target embedding PSNR in dB (> 0).
     impl       : 'xla', 'pallas', or None for backend-based auto selection.
     """
@@ -102,7 +106,7 @@ class Watermark:
         every embed/detect dispatch. None when the fused raw path does not
         apply (XLA impl, or geometry outside raw_mode_ok).
         """
-        if self.impl != "pallas":
+        if self._impl_for(mask_type) != "pallas":
             return None
         key = ("wm_p", mask_type, self.rows, self.cols)
         if key not in self._fn_cache:
@@ -125,22 +129,34 @@ class Watermark:
 
     # -- compiled pipelines ------------------------------------------------
 
+    def _impl_for(self, mask_type: MaskType) -> str:
+        """Per-mask implementation: the fused Pallas kernels implement the
+        8-tap (p=3) predictor, so the generalized ME mask at p in {5,7,9}
+        runs the XLA path (MXU einsum gram + batched solve) — the capability
+        the reference TODO'd away (main.cpp:88-89). NVF keeps the engine's
+        impl at every p (the fused kernels take the window size)."""
+        if mask_type is MaskType.ME and self.p != 3:
+            return "xla"
+        return self.impl
+
     def _embed_fn(self, mask_type: MaskType):
-        key = ("embed", mask_type, self.impl)
+        impl = self._impl_for(mask_type)
+        key = ("embed", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = jax.jit(partial(embed_pipeline, mask_type=mask_type.value,
-                                 p=self.p, impl=self.impl),
+                                 p=self.p, impl=impl),
                          static_argnames=("strength_factor_value",))
             self._fn_cache[key] = fn
         return fn
 
     def _detect_fn(self, mask_type: MaskType):
-        key = ("detect", mask_type, self.impl)
+        impl = self._impl_for(mask_type)
+        key = ("detect", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = jax.jit(partial(detect_pipeline, mask_type=mask_type.value,
-                                 p=self.p, impl=self.impl))
+                                 p=self.p, impl=impl))
             self._fn_cache[key] = fn
         return fn
 
@@ -169,7 +185,6 @@ class Watermark:
         strength is a 0-d array (call float() to sync).
         """
         mask_type = MaskType.parse(mask_type)
-        self._check_me_window(mask_type)
         self._check_dims(image)
         image = as_device_input(image)
         output = image if output is None else as_device_input(output)
@@ -181,19 +196,10 @@ class Watermark:
     def detect(self, image, mask_type: "MaskType | str" = MaskType.ME):
         """Detector correlation of a grayscale image (0-d device array)."""
         mask_type = MaskType.parse(mask_type)
-        self._check_me_window(mask_type)
         self._check_dims(image)
         return self._detect_fn(mask_type)(
             as_device_input(image), self.random_matrix,
             watermark_padded=self._padded_watermark(mask_type))
-
-    def _check_me_window(self, mask_type: MaskType) -> None:
-        """The prediction-error mask is defined for p=3 (8-tap predictor),
-        like the reference (main.cpp:88-89: 'only p=3 is allowed')."""
-        if mask_type is MaskType.ME and self.p != 3:
-            raise ValueError(
-                f"The prediction-error (ME) mask requires p=3, engine has "
-                f"p={self.p}; NVF supports p in {_VALID_P}.")
 
     def _check_dims(self, image) -> None:
         # exact shape: an RGB (H, W, 3) array passed as the grayscale

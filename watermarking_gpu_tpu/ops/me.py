@@ -17,13 +17,20 @@ Reference behavior:
   Here singularity surfaces as non-finite solve output, reduced to a ``valid``
   scalar per image that downstream code applies with ``jnp.where``.
 
-TPU-first notes: the Rx/rx accumulation is expressed as an ``(8, N) @ (N, 8)``
+TPU-first notes: the Rx/rx accumulation is expressed as an ``(k, N) @ (N, k)``
 contraction so it lands on the MXU, and everything accumulates in f32
 (strictly more precise than the reference's fp16 staging, see BASELINE.md).
 The fused single-pass Pallas version lives in ``ops/pallas/me_kernel.py``.
 
+Predictor window: the reference hard-codes p=3 (8 taps) and rejects anything
+else ("TODO for p>3 we have problems with ME masking buffers",
+``main.cpp:88-89``). Here every function takes ``p`` and generalizes to the
+(p*p-1)-tap predictor — the MXU contraction and the batched solve are
+shape-polymorphic, so p in {5, 7, 9} costs nothing structurally. The fused
+Pallas kernels implement p=3; engines route ME at p>3 through this XLA path.
+
 All functions are batch-polymorphic over leading dims: images (..., H, W),
-coefficients (..., 8), Rx (..., 8, 8), rx (..., 8).
+coefficients (..., k), Rx (..., k, k), rx (..., k) with k = p*p-1.
 """
 
 from __future__ import annotations
@@ -39,10 +46,11 @@ from .neighbors import neighbor_stack
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def me_normal_equations(image: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Accumulate Rx (..., 8, 8) and rx (..., 8) over all pixels."""
-    neighbors = neighbor_stack(image)
-    flat = neighbors.reshape(*neighbors.shape[:-2], -1)     # (..., 8, N)
+def me_normal_equations(image: jnp.ndarray,
+                        p: int = 3) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Accumulate Rx (..., k, k) and rx (..., k) over all pixels."""
+    neighbors = neighbor_stack(image, p)
+    flat = neighbors.reshape(*neighbors.shape[:-2], -1)     # (..., k, N)
     center = image.reshape(*image.shape[:-2], -1)           # (..., N)
     rx_matrix = jnp.einsum("...kn,...ln->...kl", flat, flat,
                            precision=_HIGHEST,
@@ -82,7 +90,7 @@ def solve_coefficients_spd(rx_matrix: jnp.ndarray,
     or negative pivot produces NaN/Inf, reduced to the per-image ``valid``
     flag (the reference's solve-throw contract, Watermark.cpp:202-207).
     """
-    n = 8
+    n = rx_matrix.shape[-1]
     a = [[rx_matrix[..., i, j] for j in range(n)] for i in range(n)]
     lower = [[None] * n for _ in range(n)]
     for j in range(n):
@@ -113,18 +121,20 @@ def solve_coefficients_spd(rx_matrix: jnp.ndarray,
     return coefficients, valid
 
 
-def predict(image: jnp.ndarray, coefficients: jnp.ndarray) -> jnp.ndarray:
-    """8-tap linear prediction of each pixel from its clamped neighbors."""
-    neighbors = neighbor_stack(image)
+def predict(image: jnp.ndarray, coefficients: jnp.ndarray,
+            p: int = 3) -> jnp.ndarray:
+    """(p*p-1)-tap linear prediction of each pixel from its clamped
+    neighbors."""
+    neighbors = neighbor_stack(image, p)
     return jnp.einsum("...k,...khw->...hw", coefficients, neighbors,
                       precision=_HIGHEST,
                       preferred_element_type=jnp.float32)
 
 
-def prediction_error(image: jnp.ndarray,
-                     coefficients: jnp.ndarray) -> jnp.ndarray:
+def prediction_error(image: jnp.ndarray, coefficients: jnp.ndarray,
+                     p: int = 3) -> jnp.ndarray:
     """Error sequence e = image - prediction(image)."""
-    return image - predict(image, coefficients)
+    return image - predict(image, coefficients, p)
 
 
 def me_mask_from_error(error: jnp.ndarray) -> jnp.ndarray:

@@ -6,11 +6,13 @@ The reference reads pixels through an OpenCL image2d sampler configured with
 ``jnp.pad(..., mode="edge")`` once per pass plus static slices, which XLA fuses
 into the consuming computation.
 
-Neighbor ordering is the row-major scan of the 3x3 window excluding the center
-(top-left, top, top-right, left, right, bottom-left, bottom, bottom-right),
-matching the coefficient order consumed by the reference prediction kernel
-(``scaled_neighbors_p3.hpp:35-42``) and produced by the ``me`` kernel
-(``me_p3.hpp:46-54``).
+Neighbor ordering is the row-major scan of the p x p window excluding the
+center (for p=3: top-left, top, top-right, left, right, bottom-left, bottom,
+bottom-right), matching the coefficient order consumed by the reference
+prediction kernel (``scaled_neighbors_p3.hpp:35-42``) and produced by the
+``me`` kernel (``me_p3.hpp:46-54``). The reference hard-codes p=3 for the
+predictor (``main.cpp:88-89``: "TODO for p>3 we have problems with ME masking
+buffers"); here the window generalizes to p in {3, 5, 7, 9}.
 
 All ops here are batch-polymorphic: images are (..., H, W) with any number of
 leading batch dimensions.
@@ -20,13 +22,18 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# (row offset, col offset) for the 8 neighbors of a 3x3 window, row-major,
-# center excluded. Index k here corresponds to coeffs[k] in the reference.
-NEIGHBOR_OFFSETS: tuple[tuple[int, int], ...] = (
-    (-1, -1), (-1, 0), (-1, 1),
-    (0, -1), (0, 1),
-    (1, -1), (1, 0), (1, 1),
-)
+
+def neighbor_offsets(p: int = 3) -> tuple[tuple[int, int], ...]:
+    """Row-major (row, col) offsets of the p x p window, center excluded."""
+    half = p // 2
+    return tuple((dr, dc)
+                 for dr in range(-half, half + 1)
+                 for dc in range(-half, half + 1)
+                 if (dr, dc) != (0, 0))
+
+
+# The p=3 case, index k corresponding to coeffs[k] in the reference.
+NEIGHBOR_OFFSETS: tuple[tuple[int, int], ...] = neighbor_offsets(3)
 
 NUM_NEIGHBORS = len(NEIGHBOR_OFFSETS)  # p*p - 1 with p=3
 
@@ -38,20 +45,23 @@ def pad_edge(image: jnp.ndarray, halo: int) -> jnp.ndarray:
 
 
 def neighbor_stack_from_padded(padded: jnp.ndarray, rows: int,
-                               cols: int) -> jnp.ndarray:
-    """(..., rows+2, cols+2) halo-extended -> (..., 8, rows, cols) neighbors.
+                               cols: int, p: int = 3) -> jnp.ndarray:
+    """(..., rows+2h, cols+2h) halo-extended -> (..., p*p-1, rows, cols)
+    neighbors, h = p//2.
 
     Used directly by the spatially-sharded path, where the row halo comes
     from a ppermute exchange instead of local edge padding.
     """
+    half = p // 2
     return jnp.stack(
-        [padded[..., 1 + dr : 1 + dr + rows, 1 + dc : 1 + dc + cols]
-         for dr, dc in NEIGHBOR_OFFSETS],
+        [padded[..., half + dr : half + dr + rows,
+                half + dc : half + dc + cols]
+         for dr, dc in neighbor_offsets(p)],
         axis=-3,
     )
 
 
-def neighbor_stack(image: jnp.ndarray) -> jnp.ndarray:
-    """(..., H, W) -> (..., 8, H, W) clamp-to-edge 3x3 neighbor stack."""
+def neighbor_stack(image: jnp.ndarray, p: int = 3) -> jnp.ndarray:
+    """(..., H, W) -> (..., p*p-1, H, W) clamp-to-edge neighbor stack."""
     rows, cols = image.shape[-2:]
-    return neighbor_stack_from_padded(pad_edge(image, 1), rows, cols)
+    return neighbor_stack_from_padded(pad_edge(image, p // 2), rows, cols, p)

@@ -41,23 +41,24 @@ def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
     return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
 
 
-def _analysis(image: jnp.ndarray, impl: ImplName):
+def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
     """Rx/rx accumulation + solve. Returns (coefficients, valid).
 
     Only the XLA oracle path reaches this; the pallas pipelines run the
-    fused gram + SPD solve inline (they share the padded image).
+    fused gram + SPD solve inline (they share the padded image). ``p`` is
+    the predictor window (3 in the reference; the XLA path generalizes).
     """
     del impl
-    rx_matrix, rx_vector = me_normal_equations(image)
+    rx_matrix, rx_vector = me_normal_equations(image, p)
     return solve_coefficients(rx_matrix, rx_vector)
 
 
 def _prediction_error(image: jnp.ndarray, coefficients: jnp.ndarray,
-                      impl: ImplName) -> jnp.ndarray:
-    if impl == "pallas":
+                      impl: ImplName, p: int = 3) -> jnp.ndarray:
+    if impl == "pallas" and p == 3:
         from .pallas.predict_kernel import prediction_error_pallas
         return prediction_error_pallas(image, coefficients)
-    return prediction_error(image, coefficients)
+    return prediction_error(image, coefficients, p)
 
 
 def _nvf_mask(image: jnp.ndarray, p: int, impl: ImplName) -> jnp.ndarray:
@@ -73,6 +74,16 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
     extra = value.ndim - valid.ndim
     return jnp.where(valid.reshape(valid.shape + (1,) * extra), value,
                      fallback)
+
+
+def _check_pallas_me_window(mask_type: str, p: int) -> None:
+    """The fused Pallas kernels implement the 8-tap (p=3) predictor; the
+    generalized (p*p-1)-tap ME mask runs on the XLA path (engines route it
+    there automatically — Watermark._impl_for)."""
+    if mask_type == "me" and p != 3:
+        raise ValueError(
+            f"impl='pallas' supports the ME mask at p=3 only (got p={p}); "
+            f"use impl='xla' for the generalized predictor.")
 
 
 def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
@@ -189,12 +200,13 @@ def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
     """
     image, output, watermark = map(_to_f32, (image, output, watermark))
     if impl == "pallas":
+        _check_pallas_me_window(mask_type, p)
         return _embed_pipeline_fused(image, output, watermark,
                                      strength_factor_value, mask_type, p,
                                      watermark_padded)
     if mask_type == "me":
-        coefficients, valid = _analysis(image, impl)
-        error = _prediction_error(image, coefficients, impl)
+        coefficients, valid = _analysis(image, impl, p)
+        error = _prediction_error(image, coefficients, impl, p)
         mask = me_mask_from_error(error)
     else:
         mask = _nvf_mask(image, p, impl)
@@ -219,6 +231,7 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     """
     image, watermark = map(_to_f32, (image, watermark))
     if impl == "pallas":
+        _check_pallas_me_window(mask_type, p)
         from .pallas.fused import (fused_detect_partials_raw,
                                    fused_detect_tail_padded)
 
@@ -240,13 +253,17 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
             corr, valid = corr[0], valid[0]
         return jnp.where(valid, corr, 0.0)
 
-    coefficients, valid = _analysis(image, impl)
-    e_z = _prediction_error(image, coefficients, impl)
+    # Predictor window: p for the ME mask's generalized predictor; the NVF
+    # detector keeps the reference's fixed 3x3 predictor (p sizes only the
+    # NVF variance window, Watermark.cpp:238-241).
+    pred_p = p if mask_type == "me" else 3
+    coefficients, valid = _analysis(image, impl, pred_p)
+    e_z = _prediction_error(image, coefficients, impl, pred_p)
     if mask_type == "me":
         mask = me_mask_from_error(e_z)
     else:
         mask = _nvf_mask(image, p, impl)
     u = mask * watermark
-    e_u = _prediction_error(u, coefficients, impl)
+    e_u = _prediction_error(u, coefficients, impl, pred_p)
     corr = correlation(e_u, e_z)
     return jnp.where(valid, corr, 0.0)

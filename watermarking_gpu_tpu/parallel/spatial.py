@@ -292,12 +292,24 @@ def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
     return watermarked, jnp.where(valid, strength, 0.0)
 
 
+def check_me_window(mask_type: str, p: int) -> None:
+    """The spatially-sharded analysis implements the p=3 predictor (its
+    distributed Gram exchanges a 1-row halo). The generalized (p*p-1)-tap
+    ME mask runs single-device or data-parallel on the XLA path."""
+    if mask_type == "me" and p != 3:
+        raise ValueError(
+            f"spatial/hybrid sharding supports the ME mask at p=3 only "
+            f"(got p={p}); use data_parallel or a single-device engine "
+            f"for the generalized predictor.")
+
+
 def make_spatial_detect(mesh, mask_type: str, p: int = 3,
                         impl: str = "xla"):
     """jit-compiled row-sharded detect: (H, W) image, (H, W) W -> scalar.
 
     impl="pallas" runs the fused Gram + detect-tail kernels per shard.
     """
+    check_me_window(mask_type, p)
     row_sharded = P(SPACE_AXIS, None)
     fn = shard_map(
         partial(_detect_shard, mask_type=mask_type, p=p, impl=impl),
@@ -313,6 +325,7 @@ def make_spatial_embed(mesh, mask_type: str, strength_factor_value: float,
 
     impl="pallas" runs the fused Gram + embed-field kernels per shard.
     """
+    check_me_window(mask_type, p)
     del rows, cols  # shard-local geometry + axis size determine the totals
     row_sharded = P(SPACE_AXIS, None)
     out_sharded = P(SPACE_AXIS, None, None) if channels else row_sharded
