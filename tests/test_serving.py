@@ -146,3 +146,21 @@ def test_dispatch_error_propagates(engine):
             bad.result(timeout=60)
     finally:
         service.close()
+
+
+def test_multichip_serving_generalized_me(rng, frames):
+    """A generalized-ME engine (p=5, impl='pallas' — the TPU default) must
+    serve over a mesh: the services resolve the per-mask impl via
+    engine._impl_for, not engine.impl (which would trace the pallas ME
+    pipeline and fail every batch)."""
+    from watermarking_gpu_tpu.parallel import make_mesh
+    wm = rng.normal(size=(48, 64)).astype(np.float32)
+    eng = BatchedWatermark(48, 64, wm, p=5, psnr=35.0, impl="pallas")
+    direct = np.asarray(eng.detect(frames[:4], MaskType.ME))
+    service = DetectorService(eng, batch_size=4, mesh=make_mesh(data=4))
+    try:
+        got = [f.result(timeout=60)
+               for f in [service.submit(x) for x in frames[:4]]]
+    finally:
+        service.close()
+    np.testing.assert_allclose(got, direct, atol=1e-4)

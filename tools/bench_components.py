@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +20,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench_util import measure  # noqa: E402
 from watermarking_gpu_tpu.ops.me import solve_coefficients_spd  # noqa: E402
 from watermarking_gpu_tpu.ops.pallas.common import pad_image
 from watermarking_gpu_tpu.ops.pallas.fused import (
@@ -31,23 +31,6 @@ from watermarking_gpu_tpu.ops.pipelines import detect_pipeline, embed_pipeline
 
 ROWS, COLS = 1080, 1920
 BATCH = 8
-
-
-def measure(make_fn, args, k_small=4, k_large=16, reps=3):
-    fns = {}
-    for k in (k_small, k_large):
-        fns[k] = jax.jit(make_fn(k))
-        np.asarray(jax.tree.leaves(fns[k](*args))[-1])   # compile+warm
-
-    def window(k):
-        t0 = time.perf_counter()
-        out = fns[k](*args)
-        np.asarray(jax.tree.leaves(out)[-1])
-        return time.perf_counter() - t0
-
-    best = min((window(k_large) - window(k_small)) / (k_large - k_small)
-               for _ in range(reps))
-    return best
 
 
 def main():

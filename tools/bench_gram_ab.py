@@ -6,7 +6,6 @@ from __future__ import annotations
 import os
 import sys
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -14,34 +13,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from watermarking_gpu_tpu.ops.pallas import me_kernel as mk  # noqa: E402
-from watermarking_gpu_tpu.ops.pallas.common import (  # noqa: E402
-    interpret_mode, pad_image)
+from watermarking_gpu_tpu.ops.pallas.common import pad_image  # noqa: E402
 from watermarking_gpu_tpu.ops.pallas.fused import pipeline_geometry  # noqa: E402
 
-from jax.experimental import pallas as pl  # noqa: E402
-from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+from bench_util import gram_partials_only  # noqa: E402
 
 ROWS, COLS = 1080, 1920
 BATCH = 8
-
-
-def gram_partials_only(img_p, rows, cols, pad, strip, rows_padded):
-    batch = img_p.shape[0]
-    return pl.pallas_call(
-        partial(mk._me_gram_kernel, pad=pad, strip=strip, width=cols,
-                rows=rows, masked=rows_padded != rows),
-        grid=(batch, rows_padded // strip),
-        in_specs=[pl.BlockSpec(
-            (pl.Element(1), pl.Element(strip + 2 * pad),
-             pl.Element(cols + 2 * pad)),
-            lambda b, i: (b, i * strip, 0),
-            memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 16, cols + 2), lambda b, i: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 16, cols + 2), jnp.float32),
-        interpret=interpret_mode(),
-    )(img_p)
 
 
 def main():

@@ -178,8 +178,11 @@ class DetectorService(_BatchingService):
                          flush_timeout, mesh)
         if mesh is not None:
             from .parallel import make_dp_detect
-            self._dp_fn = make_dp_detect(mesh, self.mask_type.value,
-                                         p=engine.p, impl=engine.impl)
+            # per-mask impl: generalized ME (p>3) runs the XLA path even on
+            # a pallas engine (Watermark._impl_for)
+            self._dp_fn = make_dp_detect(
+                mesh, self.mask_type.value, p=engine.p,
+                impl=engine._impl_for(self.mask_type))
 
     def _run_batch(self, stack):
         if self.mesh is not None:
@@ -207,9 +210,10 @@ class EmbedderService(_BatchingService):
                          flush_timeout, mesh)
         if mesh is not None:
             from .parallel import make_dp_embed
-            self._dp_fn = make_dp_embed(mesh, self.mask_type.value,
-                                        engine.strength_factor,
-                                        p=engine.p, impl=engine.impl)
+            # per-mask impl, as in DetectorService
+            self._dp_fn = make_dp_embed(
+                mesh, self.mask_type.value, engine.strength_factor,
+                p=engine.p, impl=engine._impl_for(self.mask_type))
 
     def _run_batch(self, stack):
         if self.mesh is not None:
