@@ -50,7 +50,8 @@ def load_frames(rows, cols, image_file, batch):
     return np.broadcast_to(base, (batch, rows, cols)).copy()
 
 
-def measure_roundtrip(frames, watermark, mask_type, impl, iters=(6, 24)):
+def measure_roundtrip(frames, watermark, mask_type, impl, iters=(6, 24),
+                      p=3):
     """Chained embed+detect steps closed by a D2H pull; slope isolates
     per-step device time from the harness's fixed sync cost."""
     sf = strength_factor(40.0)
@@ -60,14 +61,14 @@ def measure_roundtrip(frames, watermark, mask_type, impl, iters=(6, 24)):
     watermark = jax.device_put(watermark)
     # engine-style call-invariant padded watermark (pad copy paid once)
     from watermarking_gpu_tpu.ops.pipelines import precompute_padded_watermark
-    wm_p = (precompute_padded_watermark(watermark, mask_type)
+    wm_p = (precompute_padded_watermark(watermark, mask_type, p)
             if impl == "pallas" else None)
 
     @jax.jit
     def step(f, wm):
-        marked, _ = batch_embed(f, f, wm, sf, mask_type, impl=impl,
+        marked, _ = batch_embed(f, f, wm, sf, mask_type, p=p, impl=impl,
                                 watermark_padded=wm_p)
-        return marked, batch_detect(marked, wm, mask_type, impl=impl,
+        return marked, batch_detect(marked, wm, mask_type, p=p, impl=impl,
                                     watermark_padded=wm_p)
     m, c = step(frames, watermark)
     np.asarray(c)
@@ -262,6 +263,16 @@ def main():
             report["results"][key] = measure_roundtrip(
                 frames, watermark, mask_type, impl, size_iters)
             print(key, report["results"][key], flush=True)
+
+    # generalized ME at p=5 (framework extension; the reference rejects ME
+    # at p != 3, main.cpp:88-89) — runs the (p*p-1)-tap XLA predictor
+    rows, cols, image_file = SIZES["512"]
+    frames = load_frames(rows, cols, image_file, 8)
+    watermark = generate_watermark(rows, cols, 28390211).astype(np.float32)
+    report["results"]["embed_detect_512_me_p5"] = measure_roundtrip(
+        frames, watermark, "me", "xla", (iters[0] * 16, iters[1] * 16), p=5)
+    print("embed_detect_512_me_p5",
+          report["results"]["embed_detect_512_me_p5"], flush=True)
 
     report["results"]["video_detect_1080p"] = video_detect_benchmark()
     print("video_detect_1080p", report["results"]["video_detect_1080p"],
