@@ -43,18 +43,23 @@ def main() -> int:
     parser.add_argument("image", nargs="?", default=DEFAULT_IMAGE)
     parser.add_argument("--psnr", type=float, default=40.0)
     parser.add_argument("--mask", choices=["me", "nvf"], default="me")
+    parser.add_argument("--p", type=int, default=3, choices=[3, 5, 7, 9],
+                        help="mask window (ME p>3 runs the generalized "
+                             "predictor — a framework extension)")
     parser.add_argument("--seed", type=int, default=28390211)
     args = parser.parse_args()
 
     gray = load_image_gray(args.image)
     rows, cols = gray.shape
     watermark = generate_watermark(rows, cols, args.seed)
-    engine = BatchedWatermark(rows, cols, watermark, p=3, psnr=args.psnr)
+    engine = BatchedWatermark(rows, cols, watermark, p=args.p,
+                              psnr=args.psnr)
 
     marked_batch, strength = engine.embed(gray[None], mask_type=args.mask)
     marked = np.asarray(marked_batch)[0]
     print(f"image {args.image} ({rows}x{cols}), mask={args.mask}, "
-          f"psnr={args.psnr}, strength={float(strength[0]):.4f}\n")
+          f"p={args.p}, psnr={args.psnr}, "
+          f"strength={float(strength[0]):.4f}\n")
 
     rng = np.random.default_rng(0)
     attacks: list[tuple[str, np.ndarray]] = [("none", marked),
