@@ -8,6 +8,8 @@ code with them.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -16,6 +18,7 @@ def clamp_get(img: np.ndarray, r: int, c: int) -> float:
     return img[min(max(r, 0), h - 1), min(max(c, 0), w - 1)]
 
 
+@functools.lru_cache(maxsize=None)   # neighbors_of runs per pixel
 def neighbor_offsets(p: int = 3):
     half = p // 2
     return [(dr, dc) for dr in range(-half, half + 1)

@@ -274,3 +274,17 @@ def test_ffmpeg_subprocess_path(fake_ffmpeg, tmp_path, capsys):
     n, results = detect_video(det, out=io.StringIO())
     assert n == N_FRAMES
     assert all(c > 0.4 for _, c in results)
+
+
+def test_video_dims_guard_scopes_to_fused_path():
+    """The VMEM width bound belongs to the fused p=3 kernels; at p>3 the
+    generalized ME predictor runs on XLA and wide streams must pass."""
+    import pytest
+
+    from watermarking_gpu_tpu.ops.pallas.fused import max_supported_cols
+    from watermarking_gpu_tpu.video.pipeline import _check_video_dims
+
+    too_wide = max_supported_cols("me", 3) + 16
+    with pytest.raises(RuntimeError, match="dimensions too high"):
+        _check_video_dims(too_wide, 64, p=3)
+    _check_video_dims(too_wide, 64, p=5)   # no VMEM strip bound on XLA

@@ -4,7 +4,8 @@ The reference processes video frames one at a time through a single in-order
 queue (``/root/reference/Watermark_GPU/main.cpp:319-340``). The TPU-native
 equivalent batches frames on a leading axis with ``vmap``: one dispatch embeds
 or detects B frames, amortizing host dispatch and keeping the MXU fed — per-
-frame Rx/rx solves become one batched 8x8 LU.
+frame Rx/rx solves become one batched k×k solve (k = p²−1: 8 for the
+reference's p=3 predictor, 24/48/80 for the generalized windows).
 
 These are plain jittable functions; ``BatchedWatermark`` wraps them with the
 same engine ergonomics as ``Watermark``.

@@ -67,7 +67,8 @@ def solve_coefficients(rx_matrix: jnp.ndarray,
 
     ``valid`` is False where the system is singular (non-finite solution),
     mirroring the reference's solve-failure soft path. Shapes: coefficients
-    (..., 8), valid (...,).
+    (..., k), valid (...,) — k = 8 for the reference's p=3 predictor, 24/48/
+    80 for the generalized p in {5, 7, 9} systems.
     """
     # explicit column vector: a 2D rhs would be read as a matrix, not a batch
     coefficients = jnp.linalg.solve(rx_matrix, rx_vector[..., None])[..., 0]

@@ -53,19 +53,10 @@ def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
     return solve_coefficients(rx_matrix, rx_vector)
 
 
-def _prediction_error(image: jnp.ndarray, coefficients: jnp.ndarray,
-                      impl: ImplName, p: int = 3) -> jnp.ndarray:
-    if impl == "pallas" and p == 3:
-        from .pallas.predict_kernel import prediction_error_pallas
-        return prediction_error_pallas(image, coefficients)
-    return prediction_error(image, coefficients, p)
-
-
-def _nvf_mask(image: jnp.ndarray, p: int, impl: ImplName) -> jnp.ndarray:
-    if impl == "pallas":
-        from .pallas.nvf_kernel import nvf_mask_pallas
-        return nvf_mask_pallas(image, p=p)
-    return nvf_mask(image, p=p)
+# Note: only the XLA oracle branches call prediction_error / nvf_mask
+# below — the impl='pallas' pipelines return earlier with everything fused
+# (the standalone kernels prediction_error_pallas / nvf_mask_pallas remain
+# public ops with their own parity tests).
 
 
 def _gate(value: jnp.ndarray, valid: jnp.ndarray,
@@ -206,10 +197,10 @@ def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
                                      watermark_padded)
     if mask_type == "me":
         coefficients, valid = _analysis(image, impl, p)
-        error = _prediction_error(image, coefficients, impl, p)
+        error = prediction_error(image, coefficients, p)
         mask = me_mask_from_error(error)
     else:
-        mask = _nvf_mask(image, p, impl)
+        mask = nvf_mask(image, p=p)
         valid = jnp.ones(image.shape[:-2], dtype=bool)
     watermarked, strength = embed_watermark(
         output, mask, watermark, strength_factor_value)
@@ -258,12 +249,12 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     # NVF variance window, Watermark.cpp:238-241).
     pred_p = p if mask_type == "me" else 3
     coefficients, valid = _analysis(image, impl, pred_p)
-    e_z = _prediction_error(image, coefficients, impl, pred_p)
+    e_z = prediction_error(image, coefficients, pred_p)
     if mask_type == "me":
         mask = me_mask_from_error(e_z)
     else:
-        mask = _nvf_mask(image, p, impl)
+        mask = nvf_mask(image, p=p)
     u = mask * watermark
-    e_u = _prediction_error(u, coefficients, impl, pred_p)
+    e_u = prediction_error(u, coefficients, pred_p)
     corr = correlation(e_u, e_z)
     return jnp.where(valid, corr, 0.0)

@@ -118,11 +118,15 @@ class FrameSink:
 _EMBED_BATCH_BUDGET_BYTES = 128 * 1024 * 1024
 
 
-def _check_video_dims(width: int, height: int) -> None:
+def _check_video_dims(width: int, height: int, p: int = 3) -> None:
     """Max-dims guard for video geometry — same bound the image path
     enforces (cli/main.py; TPU analog of the reference's texture-size
     check), raised here so an oversized stream fails with a clear message
-    instead of a raw VMEM compile error. Video is always ME/p=3."""
+    instead of a raw VMEM compile error. The bound belongs to the fused
+    Pallas kernels, i.e. the video path's ME/p=3 configuration; at p>3
+    the generalized ME predictor runs on XLA with no VMEM strip bound."""
+    if p != 3:
+        return
     from ..ops.pallas.fused import MAX_ROWS, max_supported_cols
 
     if height > MAX_ROWS or width > max_supported_cols("me", 3):
@@ -143,7 +147,7 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
     out = sys.stdout if out is None else out
     source = FrameSource(settings)
     try:
-        _check_video_dims(source.width, source.height)
+        _check_video_dims(source.width, source.height, settings.p)
     except Exception:
         source.close()
         raise
@@ -222,7 +226,7 @@ def detect_video(settings: Settings, engine: BatchedWatermark | None = None,
     out = sys.stdout if out is None else out
     source = FrameSource(settings)
     try:
-        _check_video_dims(source.width, source.height)
+        _check_video_dims(source.width, source.height, settings.p)
     except Exception:
         source.close()
         raise
