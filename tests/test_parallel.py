@@ -236,11 +236,25 @@ def test_generalized_me_dp_matches_single(frames, watermark32):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
-def test_generalized_me_spatial_rejected(watermark32):
-    """The spatially-sharded analysis implements the p=3 predictor; ME at
-    p>3 fails loudly at factory time."""
-    mesh = make_mesh(data=1, space=2)
+def test_generalized_me_spatial_matches_single(frames, watermark32):
+    """Generalized ME (p=5) on the XLA shard path: the 2-row halo exchange
+    feeds the 24-tap predictor; psum'd Gram/correlations match the
+    unsharded pipeline. The per-shard fused kernels stay p=3-only and
+    reject loudly."""
+    mesh = make_mesh(data=1, space=4)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref = detect_pipeline(img, wm, "me", p=5, impl="xla")
+    got = make_spatial_detect(mesh, "me", p=5)(
+        shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref), atol=1e-5)
+
+    ref_out, ref_s = embed_pipeline(img, img, wm, SF, "me", p=5, impl="xla")
+    got_out, got_s = make_spatial_embed(mesh, "me", SF, *img.shape, p=5)(
+        shard_rows(mesh, img), shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got_s), float(ref_s), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=2e-3)
+
     with pytest.raises(ValueError, match="p=3 only"):
-        make_spatial_detect(mesh, "me", p=5)
-    with pytest.raises(ValueError, match="p=3 only"):
-        make_spatial_embed(mesh, "me", SF, 32, 64, p=5)
+        make_spatial_detect(mesh, "me", p=5, impl="pallas")

@@ -10,7 +10,7 @@ from .models import BatchedWatermark, MaskType, Watermark
 from .ops import strength_factor
 from .serving import DetectorService, EmbedderService
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = ["BatchedWatermark", "DetectorService", "EmbedderService",
            "MaskType", "Watermark", "strength_factor", "__version__"]

@@ -99,9 +99,9 @@ def _splice_pad(ext: jnp.ndarray, halo: int, rows: int, pad: int,
     return jnp.pad(ext, widths, mode="edge")
 
 
-def _local_neighbors(img: jnp.ndarray) -> jnp.ndarray:
+def _local_neighbors(img: jnp.ndarray, p: int = 3) -> jnp.ndarray:
     h, w = img.shape[-2:]
-    return neighbor_stack_from_padded(_extend(img, 1), h, w)
+    return neighbor_stack_from_padded(_extend(img, p // 2), h, w, p)
 
 
 def _nvf_local(img: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -140,14 +140,17 @@ def _gram_psum(img_p3: jnp.ndarray, rows: int, cols: int, pad: int,
     return solve_coefficients_spd(gram[:, :8, :8], gram[:, :8, 8])
 
 
-def _analysis_local(img: jnp.ndarray):
+def _analysis_local(img: jnp.ndarray, p: int = 3):
     """Global Rx/rx from per-shard partials + psum, then a replicated solve.
 
     XLA-oracle path only — the pallas shard functions run _gram_psum with
-    the pipeline-shared geometry instead.
+    the pipeline-shared geometry instead. ``p`` is the predictor window
+    (generalized ME exchanges a p//2-row halo; the psum'd Gram equals the
+    unsharded one because each shard's neighbor stack is the unsharded
+    stack restricted to its rows).
     """
-    neighbors = _local_neighbors(img)
-    flat = neighbors.reshape(*neighbors.shape[:-2], -1)      # (..., 8, N)
+    neighbors = _local_neighbors(img, p)
+    flat = neighbors.reshape(*neighbors.shape[:-2], -1)      # (..., k, N)
     center = img.reshape(*img.shape[:-2], -1)                # (..., N)
     rx_matrix = lax.psum(
         jnp.einsum("...kn,...ln->...kl", flat, flat, precision=_HIGHEST,
@@ -158,9 +161,10 @@ def _analysis_local(img: jnp.ndarray):
     return solve_coefficients(rx_matrix, rx_vector)
 
 
-def _predict_local(img: jnp.ndarray, coefficients: jnp.ndarray) -> jnp.ndarray:
+def _predict_local(img: jnp.ndarray, coefficients: jnp.ndarray,
+                   p: int = 3) -> jnp.ndarray:
     return jnp.einsum("...k,...khw->...hw", coefficients,
-                      _local_neighbors(img),
+                      _local_neighbors(img, p),
                       precision=_HIGHEST, preferred_element_type=jnp.float32)
 
 
@@ -200,8 +204,11 @@ def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
                   p: int, impl: str = "xla") -> jnp.ndarray:
     if impl == "pallas":
         return _detect_shard_pallas(img, watermark, mask_type, p)
-    coefficients, valid = _analysis_local(img)
-    e_z = img - _predict_local(img, coefficients)
+    # predictor window: p for the generalized ME mask, the reference's
+    # fixed 3x3 for NVF detection (p sizes only the variance window)
+    pred_p = p if mask_type == "me" else 3
+    coefficients, valid = _analysis_local(img, pred_p)
+    e_z = img - _predict_local(img, coefficients, pred_p)
     if mask_type == "me":
         abs_err = jnp.abs(e_z)
         local_max = jnp.max(abs_err, axis=(-2, -1), keepdims=True)
@@ -209,7 +216,7 @@ def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
     else:
         mask = _nvf_local(img, p)
     u = mask * watermark
-    e_u = u - _predict_local(u, coefficients)
+    e_u = u - _predict_local(u, coefficients, pred_p)
     dot = lax.psum(jnp.sum(e_u * e_z, axis=(-2, -1)), SPACE_AXIS)
     norm_u = lax.psum(jnp.sum(e_u * e_u, axis=(-2, -1)), SPACE_AXIS)
     norm_z = lax.psum(jnp.sum(e_z * e_z, axis=(-2, -1)), SPACE_AXIS)
@@ -272,8 +279,8 @@ def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
         return _embed_shard_pallas(img, output, watermark,
                                    strength_factor_value, mask_type, p)
     if mask_type == "me":
-        coefficients, valid = _analysis_local(img)
-        e = img - _predict_local(img, coefficients)
+        coefficients, valid = _analysis_local(img, p)
+        e = img - _predict_local(img, coefficients, p)
         abs_err = jnp.abs(e)
         local_max = jnp.max(abs_err, axis=(-2, -1), keepdims=True)
         mask = abs_err / lax.pmax(local_max, SPACE_AXIS)
@@ -292,15 +299,16 @@ def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
     return watermarked, jnp.where(valid, strength, 0.0)
 
 
-def check_me_window(mask_type: str, p: int) -> None:
-    """The spatially-sharded analysis implements the p=3 predictor (its
-    distributed Gram exchanges a 1-row halo). The generalized (p*p-1)-tap
-    ME mask runs single-device or data-parallel on the XLA path."""
-    if mask_type == "me" and p != 3:
+def check_me_window(mask_type: str, p: int, impl: str) -> None:
+    """The per-shard *fused kernels* implement the p=3 predictor; the
+    XLA shard path generalizes ME to any window (it exchanges a p//2-row
+    halo). Mirrors pipelines._check_pallas_me_window for the sharded
+    factories."""
+    if impl == "pallas" and mask_type == "me" and p != 3:
         raise ValueError(
-            f"spatial/hybrid sharding supports the ME mask at p=3 only "
-            f"(got p={p}); use data_parallel or a single-device engine "
-            f"for the generalized predictor.")
+            f"spatial/hybrid impl='pallas' supports the ME mask at p=3 "
+            f"only (got p={p}); use impl='xla' for the generalized "
+            f"predictor.")
 
 
 def make_spatial_detect(mesh, mask_type: str, p: int = 3,
@@ -309,7 +317,7 @@ def make_spatial_detect(mesh, mask_type: str, p: int = 3,
 
     impl="pallas" runs the fused Gram + detect-tail kernels per shard.
     """
-    check_me_window(mask_type, p)
+    check_me_window(mask_type, p, impl)
     row_sharded = P(SPACE_AXIS, None)
     fn = shard_map(
         partial(_detect_shard, mask_type=mask_type, p=p, impl=impl),
@@ -325,7 +333,7 @@ def make_spatial_embed(mesh, mask_type: str, strength_factor_value: float,
 
     impl="pallas" runs the fused Gram + embed-field kernels per shard.
     """
-    check_me_window(mask_type, p)
+    check_me_window(mask_type, p, impl)
     del rows, cols  # shard-local geometry + axis size determine the totals
     row_sharded = P(SPACE_AXIS, None)
     out_sharded = P(SPACE_AXIS, None, None) if channels else row_sharded
