@@ -38,7 +38,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .neighbors import neighbor_stack
+from .neighbors import (neighbor_offsets, neighbor_stack,
+                        neighbor_stack_from_padded, pad_edge)
 
 # The normal-equation accumulation must not be demoted to bf16 inputs (the
 # default matmul precision does that on both XLA:CPU and the TPU MXU); full
@@ -46,19 +47,55 @@ from .neighbors import neighbor_stack
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def gram_terms_from_padded(padded: jnp.ndarray, image: jnp.ndarray,
+                           p: int = 3
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rx/rx partial sums over `image`'s pixels, reading neighbors from a
+    halo-extended array (local edge padding here; the spatially-sharded
+    path passes its ICI-exchanged halo instead and psums the results).
+
+    p=3 contracts the materialized 8-neighbor stack on the MXU (the
+    bit-stable oracle path the goldens pin). Wider windows compute each of
+    the k(k+1)/2 unique entries as a product-reduction over two shifted
+    *views* of the padded array — XLA multi-output-fuses the reductions
+    into a handful of passes, never materializing the (k, N) stack, which
+    at 1080p/k=24 is 24x the image and makes the einsum memory-bound
+    (measured 12.8x slower than this formulation, parity 3e-7).
+    """
+    rows, cols = image.shape[-2:]
+    if p == 3:
+        neighbors = neighbor_stack_from_padded(padded, rows, cols, p)
+        flat = neighbors.reshape(*neighbors.shape[:-2], -1)  # (..., k, N)
+        center = image.reshape(*image.shape[:-2], -1)        # (..., N)
+        rx_matrix = jnp.einsum("...kn,...ln->...kl", flat, flat,
+                               precision=_HIGHEST,
+                               preferred_element_type=jnp.float32)
+        rx_vector = jnp.einsum("...kn,...n->...k", flat, center,
+                               precision=_HIGHEST,
+                               preferred_element_type=jnp.float32)
+        return rx_matrix, rx_vector
+
+    half = p // 2
+    shifts = [padded[..., half + dr: half + dr + rows,
+                     half + dc: half + dc + cols]
+              for dr, dc in neighbor_offsets(p)]
+    k = len(shifts)
+    rx_vector = jnp.stack(
+        [jnp.sum(s * image, axis=(-2, -1)) for s in shifts], axis=-1)
+    upper = {}
+    for i in range(k):
+        for j in range(i, k):
+            upper[(i, j)] = jnp.sum(shifts[i] * shifts[j], axis=(-2, -1))
+    rx_matrix = jnp.stack(
+        [jnp.stack([upper[(min(i, j), max(i, j))] for j in range(k)],
+                   axis=-1) for i in range(k)], axis=-2)
+    return rx_matrix, rx_vector
+
+
 def me_normal_equations(image: jnp.ndarray,
                         p: int = 3) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Accumulate Rx (..., k, k) and rx (..., k) over all pixels."""
-    neighbors = neighbor_stack(image, p)
-    flat = neighbors.reshape(*neighbors.shape[:-2], -1)     # (..., k, N)
-    center = image.reshape(*image.shape[:-2], -1)           # (..., N)
-    rx_matrix = jnp.einsum("...kn,...ln->...kl", flat, flat,
-                           precision=_HIGHEST,
-                           preferred_element_type=jnp.float32)
-    rx_vector = jnp.einsum("...kn,...n->...k", flat, center,
-                           precision=_HIGHEST,
-                           preferred_element_type=jnp.float32)
-    return rx_matrix, rx_vector
+    return gram_terms_from_padded(pad_edge(image, p // 2), image, p)
 
 
 def solve_coefficients(rx_matrix: jnp.ndarray,
@@ -122,14 +159,41 @@ def solve_coefficients_spd(rx_matrix: jnp.ndarray,
     return coefficients, valid
 
 
+def predict_from_padded(padded: jnp.ndarray, image: jnp.ndarray,
+                        coefficients: jnp.ndarray,
+                        p: int = 3) -> jnp.ndarray:
+    """Linear prediction reading neighbors from a halo-extended array
+    (local edge padding, or the spatial path's ICI-exchanged halo).
+
+    p=3 contracts the 8-neighbor stack on the MXU (kept bit-stable — the
+    goldens pin this path). Wider windows accumulate shifted slices of the
+    padded array instead — XLA fuses the k scaled adds into one stencil
+    pass, never materializing the (p*p-1, N) neighbor stack that dominates
+    the stacked einsum's cost at 1080p (k=24 stacks are 24x the image).
+    (A grouped-conv formulation was measured SLOWER: per-image rank-1
+    groups cannot use the MXU.)
+    """
+    rows, cols = image.shape[-2:]
+    if p == 3:
+        neighbors = neighbor_stack_from_padded(padded, rows, cols, p)
+        return jnp.einsum("...k,...khw->...hw", coefficients, neighbors,
+                          precision=_HIGHEST,
+                          preferred_element_type=jnp.float32)
+    half = p // 2
+    out = jnp.zeros_like(image)
+    for k, (dr, dc) in enumerate(neighbor_offsets(p)):
+        shifted = padded[..., half + dr: half + dr + rows,
+                         half + dc: half + dc + cols]
+        out = out + coefficients[..., k, None, None] * shifted
+    return out
+
+
 def predict(image: jnp.ndarray, coefficients: jnp.ndarray,
             p: int = 3) -> jnp.ndarray:
     """(p*p-1)-tap linear prediction of each pixel from its clamped
     neighbors."""
-    neighbors = neighbor_stack(image, p)
-    return jnp.einsum("...k,...khw->...hw", coefficients, neighbors,
-                      precision=_HIGHEST,
-                      preferred_element_type=jnp.float32)
+    return predict_from_padded(pad_edge(image, p // 2), image,
+                               coefficients, p)
 
 
 def prediction_error(image: jnp.ndarray, coefficients: jnp.ndarray,

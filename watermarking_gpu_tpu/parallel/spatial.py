@@ -40,12 +40,10 @@ try:  # jax >= 0.6 exposes shard_map at the top level
 except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
-from ..ops.me import solve_coefficients, solve_coefficients_spd
-from ..ops.neighbors import neighbor_stack_from_padded
+from ..ops.me import (gram_terms_from_padded, predict_from_padded,
+                      solve_coefficients, solve_coefficients_spd)
 from ..ops.pipelines import _gate
 from .mesh import SPACE_AXIS
-
-_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def exchange_row_halo(x: jnp.ndarray, halo: int,
@@ -99,11 +97,6 @@ def _splice_pad(ext: jnp.ndarray, halo: int, rows: int, pad: int,
     return jnp.pad(ext, widths, mode="edge")
 
 
-def _local_neighbors(img: jnp.ndarray, p: int = 3) -> jnp.ndarray:
-    h, w = img.shape[-2:]
-    return neighbor_stack_from_padded(_extend(img, p // 2), h, w, p)
-
-
 def _nvf_local(img: jnp.ndarray, p: int) -> jnp.ndarray:
     halo = p // 2
     ext = _extend(img, halo)
@@ -149,23 +142,15 @@ def _analysis_local(img: jnp.ndarray, p: int = 3):
     unsharded one because each shard's neighbor stack is the unsharded
     stack restricted to its rows).
     """
-    neighbors = _local_neighbors(img, p)
-    flat = neighbors.reshape(*neighbors.shape[:-2], -1)      # (..., k, N)
-    center = img.reshape(*img.shape[:-2], -1)                # (..., N)
-    rx_matrix = lax.psum(
-        jnp.einsum("...kn,...ln->...kl", flat, flat, precision=_HIGHEST,
-                   preferred_element_type=jnp.float32), SPACE_AXIS)
-    rx_vector = lax.psum(
-        jnp.einsum("...kn,...n->...k", flat, center, precision=_HIGHEST,
-                   preferred_element_type=jnp.float32), SPACE_AXIS)
-    return solve_coefficients(rx_matrix, rx_vector)
+    rx_matrix, rx_vector = gram_terms_from_padded(_extend(img, p // 2),
+                                                  img, p)
+    return solve_coefficients(lax.psum(rx_matrix, SPACE_AXIS),
+                              lax.psum(rx_vector, SPACE_AXIS))
 
 
 def _predict_local(img: jnp.ndarray, coefficients: jnp.ndarray,
                    p: int = 3) -> jnp.ndarray:
-    return jnp.einsum("...k,...khw->...hw", coefficients,
-                      _local_neighbors(img, p),
-                      precision=_HIGHEST, preferred_element_type=jnp.float32)
+    return predict_from_padded(_extend(img, p // 2), img, coefficients, p)
 
 
 def _detect_shard_pallas(img: jnp.ndarray, watermark: jnp.ndarray,
