@@ -159,6 +159,51 @@ def solve_coefficients_spd(rx_matrix: jnp.ndarray,
     return coefficients, valid
 
 
+def solve_coefficients_spd_vec(rx_matrix: jnp.ndarray,
+                               rx_vector: jnp.ndarray
+                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Masked *vectorized* batched Cholesky solve for the wider (k = 24/48/
+    80) generalized-ME Gram systems.
+
+    The n=8 unrolled scalar Cholesky (``solve_coefficients_spd``) compiles
+    to a handful of fused ops, but at n=24 its ~n^3/6 tiny (B,)-vector ops
+    become dispatch-bound on TPU (~the whole p=5 round trip). This variant
+    does n stages of whole-column tensor ops instead — each stage one
+    (B, n, n) x (B, n) matvec plus elementwise updates, with a row mask in
+    place of triangular indexing — so op count scales with n, not n^3.
+    Singularity surfaces as NaN/Inf exactly like the other solvers.
+    """
+    n = rx_matrix.shape[-1]
+    rows = jnp.arange(n)
+    lower = jnp.zeros_like(rx_matrix)
+    for j in range(n):
+        # col_j = A[:, j] - L @ L[j, :] — columns >= j of L are still zero,
+        # so the matvec only picks up the computed entries.
+        row_j = lower[..., j, :]
+        col = rx_matrix[..., :, j] - jnp.einsum(
+            "...ik,...k->...i", lower, row_j,
+            precision=_HIGHEST, preferred_element_type=jnp.float32)
+        col = col / jnp.sqrt(col[..., j])[..., None]
+        lower = lower.at[..., :, j].set(jnp.where(rows >= j, col, 0.0))
+    # forward substitution L y = rx
+    y = jnp.zeros_like(rx_vector)
+    for i in range(n):
+        acc = jnp.einsum("...k,...k->...", lower[..., i, :], y,
+                         precision=_HIGHEST,
+                         preferred_element_type=jnp.float32)
+        y = y.at[..., i].set(
+            (rx_vector[..., i] - acc) / lower[..., i, i])
+    # back substitution L^T x = y
+    x = jnp.zeros_like(rx_vector)
+    for i in reversed(range(n)):
+        acc = jnp.einsum("...k,...k->...", lower[..., :, i], x,
+                         precision=_HIGHEST,
+                         preferred_element_type=jnp.float32)
+        x = x.at[..., i].set((y[..., i] - acc) / lower[..., i, i])
+    valid = jnp.all(jnp.isfinite(x), axis=-1)
+    return jnp.where(valid[..., None], x, jnp.zeros_like(x)), valid
+
+
 def predict_from_padded(padded: jnp.ndarray, image: jnp.ndarray,
                         coefficients: jnp.ndarray,
                         p: int = 3) -> jnp.ndarray:

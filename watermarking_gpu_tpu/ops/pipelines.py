@@ -50,7 +50,15 @@ def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
     """
     del impl
     rx_matrix, rx_vector = me_normal_equations(image, p)
-    return solve_coefficients(rx_matrix, rx_vector)
+    if p == 3:
+        return solve_coefficients(rx_matrix, rx_vector)
+    # Generalized windows: the Gram is SPD; both batched LU (scalar
+    # pivoting) and the n=8-style unrolled scalar Cholesky are
+    # dispatch-bound at n=24 (~1 ms/frame, half the p=5 round trip). The
+    # masked vectorized Cholesky does n column-stage tensor ops instead.
+    # p=3 keeps LU for the bit-stable oracle the goldens pin.
+    from .me import solve_coefficients_spd_vec
+    return solve_coefficients_spd_vec(rx_matrix, rx_vector)
 
 
 # Note: only the XLA oracle branches call prediction_error / nvf_mask

@@ -41,7 +41,8 @@ except AttributeError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..ops.me import (gram_terms_from_padded, predict_from_padded,
-                      solve_coefficients, solve_coefficients_spd)
+                      solve_coefficients, solve_coefficients_spd,
+                      solve_coefficients_spd_vec)
 from ..ops.pipelines import _gate
 from .mesh import SPACE_AXIS
 
@@ -144,8 +145,14 @@ def _analysis_local(img: jnp.ndarray, p: int = 3):
     """
     rx_matrix, rx_vector = gram_terms_from_padded(_extend(img, p // 2),
                                                   img, p)
-    return solve_coefficients(lax.psum(rx_matrix, SPACE_AXIS),
-                              lax.psum(rx_vector, SPACE_AXIS))
+    rx_matrix = lax.psum(rx_matrix, SPACE_AXIS)
+    rx_vector = lax.psum(rx_vector, SPACE_AXIS)
+    # p=3 keeps the LU oracle path; wider SPD systems use the vectorized
+    # Cholesky (both LU and the scalar-unrolled Cholesky are
+    # dispatch-bound at n>=24 — see pipelines._analysis)
+    solver = (solve_coefficients if p == 3
+              else solve_coefficients_spd_vec)
+    return solver(rx_matrix, rx_vector)
 
 
 def _predict_local(img: jnp.ndarray, coefficients: jnp.ndarray,
