@@ -76,6 +76,11 @@ def gram_terms_from_padded(padded: jnp.ndarray, image: jnp.ndarray,
         return rx_matrix, rx_vector
 
     half = p // 2
+    if rows >= 6 * half and cols >= 6 * half:
+        return _gram_lags(padded, image.shape[:-2], rows, cols, p)
+
+    # tiny images: direct per-pair product-reductions (the lag cores below
+    # would degenerate)
     shifts = [padded[..., half + dr: half + dr + rows,
                      half + dc: half + dc + cols]
               for dr, dc in neighbor_offsets(p)]
@@ -89,6 +94,78 @@ def gram_terms_from_padded(padded: jnp.ndarray, image: jnp.ndarray,
     rx_matrix = jnp.stack(
         [jnp.stack([upper[(min(i, j), max(i, j))] for j in range(k)],
                    axis=-1) for i in range(k)], axis=-2)
+    return rx_matrix, rx_vector
+
+
+def _gram_lags(padded: jnp.ndarray, batch_shape, rows: int, cols: int,
+               p: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Lag-decomposed wide-window Gram in pure XLA.
+
+    The direct formulation needs k(k+1)/2 + k ≈ 350 (p=5) full-image
+    product-reductions, which XLA splits into dozens of bandwidth-bound
+    fusions inside the full pipeline (~2.3 ms/frame measured). Every pair
+    (i, j) is really a *window sum* of one lag product map
+    M_d = P ⊙ shift_d(P), d = offset_j - offset_i, so the distinct heavy
+    reductions collapse to the ~(2p-1)^2/2 canonical lags — each pair's
+    window then assembles as the lag's CORE sum (the intersection of all
+    windows sharing the lag, one full reduction) plus up to four thin
+    boundary-strip sums (≤2h rows × W or H × ≤2h cols). This is the same
+    inclusion-exclusion design as the p=3 Pallas gram kernel
+    (ops/pallas/me_kernel.py), expressed at the XLA level.
+    """
+    half = p // 2
+    offs = list(neighbor_offsets(p)) + [(0, 0)]    # center last: rx column
+    k = len(offs) - 1
+
+    # group pairs by canonical lag d = off_j - off_i (d and -d share a map)
+    by_lag: dict = {}
+    for i in range(len(offs)):
+        for j in range(i, len(offs)):
+            if i == j == k:
+                continue                           # center·center unused
+            ddr = offs[j][0] - offs[i][0]
+            ddc = offs[j][1] - offs[i][1]
+            a, d = (i, j), (ddr, ddc)
+            if ddr < 0 or (ddr == 0 and ddc < 0):
+                a, d = (j, i), (-ddr, -ddc)
+            by_lag.setdefault(d, []).append(a)
+
+    sums: dict = {}
+    for (ddr, ddc), pairs in by_lag.items():
+        # pair (i, j)'s window in P-coords of the left operand:
+        # [half+dr_i, ·+rows) x [half+dc_i, ·+cols); M_d(u,v)=P[u,v]P[u+d,v+d]
+        starts = [(half + offs[i][0], half + offs[i][1]) for i, _ in pairs]
+        r0 = max(s[0] for s in starts)
+        r1 = min(s[0] for s in starts) + rows
+        c0 = max(s[1] for s in starts)
+        c1 = min(s[1] for s in starts) + cols
+
+        def lag_sum(a0, a1, b0, b1):
+            """Sum of M_d over rows [a0,a1) x cols [b0,b1); static slices."""
+            if a0 >= a1 or b0 >= b1:
+                return 0.0
+            left = padded[..., a0:a1, b0:b1]
+            right = padded[..., a0 + ddr:a1 + ddr, b0 + ddc:b1 + ddc]
+            return jnp.sum(left * right, axis=(-2, -1))
+
+        core = lag_sum(r0, r1, c0, c1)
+        for (i, j), (a0, b0) in zip(pairs, starts):
+            a1, b1 = a0 + rows, b0 + cols
+            # window ⊇ core: full-width row strips + core-row column strips
+            sums[(i, j)] = (core
+                            + lag_sum(a0, r0, b0, b1)      # top rows
+                            + lag_sum(r1, a1, b0, b1)      # bottom rows
+                            + lag_sum(r0, r1, b0, c0)      # left cols
+                            + lag_sum(r0, r1, c1, b1))     # right cols
+
+    def entry(i, j):
+        return sums[(i, j)] if (i, j) in sums else sums[(j, i)]
+
+    zeros = jnp.zeros(batch_shape, jnp.float32)
+    rx_matrix = jnp.stack(
+        [jnp.stack([entry(i, j) + zeros for j in range(k)], axis=-1)
+         for i in range(k)], axis=-2)
+    rx_vector = jnp.stack([entry(i, k) + zeros for i in range(k)], axis=-1)
     return rx_matrix, rx_vector
 
 
