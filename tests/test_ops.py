@@ -126,3 +126,29 @@ def test_spd_solver_matches_lu(small_image):
     c_s, v_s = solve_coefficients_spd(jnp.zeros((8, 8)), jnp.ones(8))
     assert not bool(v_s)
     assert np.all(np.asarray(c_s) == 0.0)
+
+
+def test_vectorized_spd_solver(small_image):
+    """The masked vectorized Cholesky (the production solver for the
+    generalized p>3 Gram systems): matches LU on a well-conditioned 24x24
+    system, handles batches, and flags singular systems invalid with
+    finite (zeroed) output — the reference's solve-failure soft contract
+    (Watermark.cpp:202-207)."""
+    from watermarking_gpu_tpu.ops.me import solve_coefficients_spd_vec
+
+    rx_m, rx_v = ops.me_normal_equations(jnp.asarray(small_image), 5)
+    c_lu, v_lu = ops.solve_coefficients(rx_m, rx_v)
+    c_vec, v_vec = solve_coefficients_spd_vec(rx_m, rx_v)
+    assert bool(v_lu) and bool(v_vec)
+    np.testing.assert_allclose(np.asarray(c_vec), np.asarray(c_lu),
+                               rtol=1e-3, atol=1e-5)
+    # batched, mixed valid/singular: the singular system must come back
+    # invalid with zeroed coefficients, without poisoning its neighbor
+    batch_m = jnp.stack([rx_m, jnp.zeros_like(rx_m)])
+    batch_v = jnp.stack([rx_v, jnp.ones_like(rx_v)])
+    c_b, v_b = solve_coefficients_spd_vec(batch_m, batch_v)
+    assert bool(v_b[0]) and not bool(v_b[1])
+    assert np.all(np.isfinite(np.asarray(c_b)))
+    np.testing.assert_array_equal(np.asarray(c_b[1]), 0.0)
+    np.testing.assert_allclose(np.asarray(c_b[0]), np.asarray(c_lu),
+                               rtol=1e-3, atol=1e-5)

@@ -55,12 +55,13 @@ def gram_terms_from_padded(padded: jnp.ndarray, image: jnp.ndarray,
     path passes its ICI-exchanged halo instead and psums the results).
 
     p=3 contracts the materialized 8-neighbor stack on the MXU (the
-    bit-stable oracle path the goldens pin). Wider windows compute each of
-    the k(k+1)/2 unique entries as a product-reduction over two shifted
-    *views* of the padded array — XLA multi-output-fuses the reductions
-    into a handful of passes, never materializing the (k, N) stack, which
-    at 1080p/k=24 is 24x the image and makes the einsum memory-bound
-    (measured 12.8x slower than this formulation, parity 3e-7).
+    bit-stable oracle path the goldens pin). Wider windows dispatch to the
+    lag-decomposed assembly (``_gram_lags``) — the (k, N) stack (24x the
+    image at 1080p/k=24) is never materialized, and the ~350 sibling
+    product-reductions of the view-based formulation (which XLA splits
+    into ~25 bandwidth-bound fusions in the full pipeline) collapse to
+    one CORE reduction per canonical lag. Tiny images, where the lag
+    cores would degenerate, keep the direct per-pair view reductions.
     """
     rows, cols = image.shape[-2:]
     if p == 3:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .correlation import correlation
 from .embed import embed_watermark
 from .me import (me_mask_from_error, me_normal_equations, prediction_error,
-                 solve_coefficients)
+                 solve_coefficients, solve_coefficients_spd_vec)
 from .nvf import nvf_mask
 
 MaskTypeName = Literal["nvf", "me"]
@@ -57,7 +57,6 @@ def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
     # dispatch-bound at n=24 (~1 ms/frame, half the p=5 round trip). The
     # masked vectorized Cholesky does n column-stage tensor ops instead.
     # p=3 keeps LU for the bit-stable oracle the goldens pin.
-    from .me import solve_coefficients_spd_vec
     return solve_coefficients_spd_vec(rx_matrix, rx_vector)
 
 
