@@ -266,13 +266,18 @@ def main():
 
     # generalized ME at p=5 (framework extension; the reference rejects ME
     # at p != 3, main.cpp:88-89) — runs the (p*p-1)-tap XLA predictor
-    rows, cols, image_file = SIZES["512"]
-    frames = load_frames(rows, cols, image_file, 8)
-    watermark = generate_watermark(rows, cols, 28390211).astype(np.float32)
-    report["results"]["embed_detect_512_me_p5"] = measure_roundtrip(
-        frames, watermark, "me", "xla", (iters[0] * 16, iters[1] * 16), p=5)
-    print("embed_detect_512_me_p5",
-          report["results"]["embed_detect_512_me_p5"], flush=True)
+    p5_cases = [("512", iters[0] * 16, iters[1] * 16)]
+    if not args.quick:
+        p5_cases.append(("1080p", iters[0] * 2, iters[1] * 2))
+    for name, ks, kl in p5_cases:
+        rows, cols, image_file = SIZES[name]
+        frames = load_frames(rows, cols, image_file, 8)
+        watermark = generate_watermark(rows, cols, 28390211).astype(
+            np.float32)
+        key = f"embed_detect_{name}_me_p5"
+        report["results"][key] = measure_roundtrip(
+            frames, watermark, "me", "xla", (ks, kl), p=5)
+        print(key, report["results"][key], flush=True)
 
     report["results"]["video_detect_1080p"] = video_detect_benchmark()
     print("video_detect_1080p", report["results"]["video_detect_1080p"],
