@@ -265,7 +265,9 @@ def main():
             print(key, report["results"][key], flush=True)
 
     # generalized ME at p=5 (framework extension; the reference rejects ME
-    # at p != 3, main.cpp:88-89) — runs the (p*p-1)-tap XLA predictor
+    # at p != 3, main.cpp:88-89) — the engines' routing: pure XLA (lag
+    # gram + fused shift-accumulate predicts; measured faster than the
+    # mixed pallas-predict variant, see Watermark._impl_for)
     p5_cases = [("512", iters[0] * 16, iters[1] * 16)]
     if not args.quick:
         p5_cases.append(("1080p", iters[0] * 2, iters[1] * 2))

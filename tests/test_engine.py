@@ -191,11 +191,13 @@ def test_u8_ingest_matches_f32(small_image, small_watermark):
 def test_me_generalizes_beyond_p3(small_image, small_watermark):
     """ME at p=5 runs the generalized 24-tap predictor — the capability the
     reference rejects (main.cpp:88-89). A pallas engine routes ME to the
-    XLA path while NVF keeps the fused kernels."""
+    measured-faster pure-XLA path (lag gram + fused shift-accumulate
+    predicts) while NVF keeps the fused kernels."""
     h, w = small_image.shape
     eng = Watermark(h, w, small_watermark, p=5, psnr=40.0, impl="pallas")
     assert eng._impl_for(MaskType.ME) == "xla"
     assert eng._impl_for(MaskType.NVF) == "pallas"
+    assert eng._padded_watermark(MaskType.ME) is None
     marked, s = eng.embed(small_image, mask_type=MaskType.ME)
     assert float(s) > 0
     corr = float(eng.detect(np.asarray(marked), MaskType.ME))
@@ -208,8 +210,6 @@ def test_me_generalizes_beyond_p3(small_image, small_watermark):
     want = oracle.detect(np.asarray(marked, np.float64),
                          np.asarray(small_watermark, np.float64), "me", p=5)
     assert abs(corr - want) < 2e-3
-    # the ME pipelines must not consume the NVF-geometry padded watermark
-    assert eng._padded_watermark(MaskType.ME) is None
 
 
 def test_warmup(small_image, small_watermark):

@@ -195,19 +195,28 @@ def test_precomputed_padded_watermark_identical(rng):
     assert saw_padded and saw_none
 
 
-def test_pallas_me_rejects_wide_window(rng):
-    """The fused kernels implement the 8-tap (p=3) predictor; requesting the
-    generalized ME window through impl='pallas' is a clear error (engines
-    route it to the XLA path instead — Watermark._impl_for)."""
+@pytest.mark.parametrize("p", [5, 7])
+def test_mixed_wide_me_matches_xla(rng, p):
+    """impl='pallas' at ME p>3 runs the MIXED pipeline (lag XLA gram +
+    vectorized Cholesky + the wide-window Pallas predict kernel); its
+    results must match the pure-XLA path to f32-reduction-order noise."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
                                                     embed_pipeline)
 
-    img = jnp.asarray(rng.normal(128, 30, (72, 96)).astype(np.float32))
+    img = jnp.asarray(np.clip(rng.normal(128, 30, (72, 96)), 0,
+                              255).astype(np.float32))
     wm = jnp.asarray(rng.normal(size=(72, 96)).astype(np.float32))
-    with pytest.raises(ValueError, match="p=3 only"):
-        detect_pipeline(img, wm, "me", p=5, impl="pallas")
-    with pytest.raises(ValueError, match="p=3 only"):
-        embed_pipeline(img, img, wm, 2.55, "me", p=5, impl="pallas")
+    ref_out, ref_s = embed_pipeline(img, img, wm, 2.55, "me", p=p,
+                                    impl="xla")
+    got_out, got_s = embed_pipeline(img, img, wm, 2.55, "me", p=p,
+                                    impl="pallas")
+    np.testing.assert_allclose(float(got_s), float(ref_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=1e-3)
+    ref_c = detect_pipeline(jnp.asarray(got_out), wm, "me", p=p, impl="xla")
+    got_c = detect_pipeline(jnp.asarray(got_out), wm, "me", p=p,
+                            impl="pallas")
+    np.testing.assert_allclose(float(got_c), float(ref_c), atol=2e-4)
 
 
 @pytest.mark.parametrize("p", [5, 7, 9])

@@ -104,7 +104,8 @@ class Watermark:
         The fused raw-mode kernels read a padded watermark; it is
         call-invariant, so the engine pays the pad copy once instead of on
         every embed/detect dispatch. None when the fused raw path does not
-        apply (XLA impl, or geometry outside raw_mode_ok).
+        apply (XLA impl, the generalized-ME mixed pipeline, or geometry
+        outside raw_mode_ok).
         """
         if self._impl_for(mask_type) != "pallas":
             return None
@@ -130,11 +131,14 @@ class Watermark:
     # -- compiled pipelines ------------------------------------------------
 
     def _impl_for(self, mask_type: MaskType) -> str:
-        """Per-mask implementation: the fused Pallas kernels implement the
-        8-tap (p=3) predictor, so the generalized ME mask at p in {5,7,9}
-        runs the XLA path (MXU einsum gram + batched solve) — the capability
-        the reference TODO'd away (main.cpp:88-89). NVF keeps the engine's
-        impl at every p (the fused kernels take the window size)."""
+        """Per-mask implementation. The generalized ME mask (p in {5,7,9},
+        the capability the reference TODO'd away at main.cpp:88-89) routes
+        to the pure-XLA path: its lag-decomposed gram + fused
+        shift-accumulate prediction MEASURE FASTER than the mixed
+        pallas-predict variant (1080p p=5: 526 vs 438 fps — the wide
+        kernel's 24 live plane temporaries force small VMEM strips). The
+        mixed pipeline remains reachable by passing impl='pallas'
+        explicitly. NVF keeps the engine's impl at every p."""
         if mask_type is MaskType.ME and self.p != 3:
             return "xla"
         return self.impl

@@ -1,4 +1,4 @@
-"""Fused 8-tap prediction-error Pallas kernel.
+"""Fused (p*p-1)-tap prediction-error Pallas kernel.
 
 err = center - sum_k coeffs[k] * neighbor_k in one pass over the image
 (the reference runs this as the ``scaled_neighbors_p3`` kernel plus an
@@ -7,7 +7,10 @@ scaled_neighbors_p3.hpp:29-43`` and ``Watermark.cpp:210``; here the subtract
 and the stencil fuse into the same VMEM strip pass).
 
 Coefficients arrive via scalar prefetch (SMEM) so each strip's weighted
-accumulation uses scalar * vector VPU ops.
+accumulation uses scalar * vector VPU ops. The window generalizes to
+p in {3, 5, 7, 9} (the reference is p=3-only, ``main.cpp:88-89``): the
+PAD=4 halo covers stencil reach up to p=9, and each extra tap is one more
+shifted scalar*vector FMA over the strip.
 """
 
 from __future__ import annotations
@@ -19,34 +22,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..neighbors import NEIGHBOR_OFFSETS
+from ..neighbors import neighbor_offsets
 from .common import interpret_mode, pad_image, pick_strip, pick_strip_for_width
 
 PAD = 4
 
 
 def _predict_error_kernel(coeffs_ref, pin, pout, *, pad: int, strip: int,
-                          width: int):
+                          width: int, p: int):
     ext = pin[0]
-    image_index = pl.program_id(0)  # coeffs are per image, flattened (B*8,)
+    taps = p * p - 1
+    image_index = pl.program_id(0)  # coeffs per image, flattened (B*taps,)
     acc = ext[pad : pad + strip, pad : pad + width]  # center
-    for k, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
+    for k, (dr, dc) in enumerate(neighbor_offsets(p)):
         plane = ext[pad + dr : pad + dr + strip, pad + dc : pad + dc + width]
-        acc = acc - coeffs_ref[image_index * 8 + k] * plane
+        acc = acc - coeffs_ref[image_index * taps + k] * plane
     pout[0] = acc
 
 
-@partial(jax.jit, static_argnames=("strip",))
+@partial(jax.jit, static_argnames=("strip", "p"))
 def prediction_error_pallas(image: jnp.ndarray, coefficients: jnp.ndarray,
-                            strip: int | None = None) -> jnp.ndarray:
-    """(H, W) or (B, H, W) image + (8,) or (B, 8) coeffs -> error sequence."""
+                            strip: int | None = None,
+                            p: int = 3) -> jnp.ndarray:
+    """(H, W) or (B, H, W) image + (k,) or (B, k) coeffs -> error sequence,
+    k = p*p-1."""
+    if p // 2 > PAD:
+        raise ValueError(f"predict kernel halo PAD={PAD} < p//2 for p={p}")
     squeeze = image.ndim == 2
     if squeeze:
         image = image[None]
         coefficients = coefficients[None]
     batch, rows, cols = image.shape
-    if strip is None:  # width-adaptive VMEM budget
-        strip, rows_padded = pick_strip_for_width(rows, cols, 240_000, PAD)
+    if strip is None:
+        # width-adaptive VMEM budget; the kernel's live temporaries scale
+        # with the tap count (each shifted plane is a strip-sized buffer),
+        # so wider windows shrink the strip to stay inside the 16 MB
+        # scoped-vmem stack (1080p p=5 measured 17.45M at the p=3 budget)
+        budget = 240_000 if p == 3 else 240_000 * 8 // (p * p - 1)
+        strip, rows_padded = pick_strip_for_width(rows, cols, budget, PAD)
     else:
         strip, rows_padded = pick_strip(rows, strip)
     padded = pad_image(image, PAD, rows_padded)
@@ -65,7 +78,8 @@ def prediction_error_pallas(image: jnp.ndarray, coefficients: jnp.ndarray,
     )
 
     out = pl.pallas_call(
-        partial(_predict_error_kernel, pad=PAD, strip=strip, width=cols),
+        partial(_predict_error_kernel, pad=PAD, strip=strip, width=cols,
+                p=p),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((batch, rows_padded, cols),
                                        jnp.float32),

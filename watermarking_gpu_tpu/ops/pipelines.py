@@ -44,9 +44,10 @@ def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
 def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
     """Rx/rx accumulation + solve. Returns (coefficients, valid).
 
-    Only the XLA oracle path reaches this; the pallas pipelines run the
-    fused gram + SPD solve inline (they share the padded image). ``p`` is
-    the predictor window (3 in the reference; the XLA path generalizes).
+    The XLA oracle and the generalized-ME mixed pipeline reach this; the
+    p=3 fused pallas pipelines run the fused gram + SPD solve inline
+    (they share the padded image). ``p`` is the predictor window (3 in
+    the reference; wider windows use the lag-decomposed gram).
     """
     del impl
     rx_matrix, rx_vector = me_normal_equations(image, p)
@@ -60,10 +61,17 @@ def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
     return solve_coefficients_spd_vec(rx_matrix, rx_vector)
 
 
-# Note: only the XLA oracle branches call prediction_error / nvf_mask
-# below — the impl='pallas' pipelines return earlier with everything fused
-# (the standalone kernels prediction_error_pallas / nvf_mask_pallas remain
-# public ops with their own parity tests).
+def _prediction_error(image: jnp.ndarray, coefficients: jnp.ndarray,
+                      impl: ImplName, p: int) -> jnp.ndarray:
+    """Predictor routing for the non-fused branches: the generalized-ME
+    mixed pipeline (impl='pallas', p>3) runs the wide-window strip kernel
+    for its three prediction passes; the XLA oracle stays pure jnp. (The
+    p=3 fused pipelines never reach this — they return earlier with
+    everything fused.)"""
+    if impl == "pallas":
+        from .pallas.predict_kernel import prediction_error_pallas
+        return prediction_error_pallas(image, coefficients, p=p)
+    return prediction_error(image, coefficients, p)
 
 
 def _gate(value: jnp.ndarray, valid: jnp.ndarray,
@@ -74,26 +82,27 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
                      fallback)
 
 
-def _check_pallas_me_window(mask_type: str, p: int) -> None:
-    """The fused Pallas kernels implement the 8-tap (p=3) predictor; the
-    generalized (p*p-1)-tap ME mask runs on the XLA path (engines route it
-    there automatically — Watermark._impl_for)."""
-    if mask_type == "me" and p != 3:
-        raise ValueError(
-            f"impl='pallas' supports the ME mask at p=3 only (got p={p}); "
-            f"use impl='xla' for the generalized predictor.")
+def _mixed_wide_me(mask_type: str, p: int, impl: ImplName) -> bool:
+    """impl='pallas' with the generalized ME window (p>3) runs the MIXED
+    pipeline: lag-decomposed XLA Gram + vectorized Cholesky + the
+    wide-window Pallas predict kernel for the three prediction passes.
+    (The p=3 fused kernels implement the 8-tap predictor only.)"""
+    return impl == "pallas" and mask_type == "me" and p != 3
 
 
 def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
                                 p: int = 3) -> jnp.ndarray | None:
     """RAW_PAD-padded watermark for the fused raw-mode kernels, or None
-    when raw mode does not apply to this geometry.
+    when raw mode does not apply to this geometry (or the mode takes no
+    fused-geometry watermark — the generalized-ME mixed pipeline).
 
     The padded watermark is call-invariant, so callers that dispatch many
     embeds/detects (engines, benchmarks) should pay this edge-pad copy once
     and pass the result as ``watermark_padded`` — at 4K with small batches
     the in-jit re-pad otherwise costs ~6% of the round trip.
     """
+    if mask_type == "me" and p != 3:
+        return None
     from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
     from .pallas.fused import pipeline_geometry
 
@@ -197,14 +206,13 @@ def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
     (engine-cached; see Watermark._padded_watermark).
     """
     image, output, watermark = map(_to_f32, (image, output, watermark))
-    if impl == "pallas":
-        _check_pallas_me_window(mask_type, p)
+    if impl == "pallas" and not _mixed_wide_me(mask_type, p, impl):
         return _embed_pipeline_fused(image, output, watermark,
                                      strength_factor_value, mask_type, p,
                                      watermark_padded)
     if mask_type == "me":
         coefficients, valid = _analysis(image, impl, p)
-        error = prediction_error(image, coefficients, p)
+        error = _prediction_error(image, coefficients, impl, p)
         mask = me_mask_from_error(error)
     else:
         mask = nvf_mask(image, p=p)
@@ -228,8 +236,7 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     (Watermark.cpp:238-241). Returns 0.0 where the system is unsolvable.
     """
     image, watermark = map(_to_f32, (image, watermark))
-    if impl == "pallas":
-        _check_pallas_me_window(mask_type, p)
+    if impl == "pallas" and not _mixed_wide_me(mask_type, p, impl):
         from .pallas.fused import (fused_detect_partials_raw,
                                    fused_detect_tail_padded)
 
@@ -256,12 +263,12 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     # NVF variance window, Watermark.cpp:238-241).
     pred_p = p if mask_type == "me" else 3
     coefficients, valid = _analysis(image, impl, pred_p)
-    e_z = prediction_error(image, coefficients, pred_p)
+    e_z = _prediction_error(image, coefficients, impl, pred_p)
     if mask_type == "me":
         mask = me_mask_from_error(e_z)
     else:
         mask = nvf_mask(image, p=p)
     u = mask * watermark
-    e_u = prediction_error(u, coefficients, pred_p)
+    e_u = _prediction_error(u, coefficients, impl, pred_p)
     corr = correlation(e_u, e_z)
     return jnp.where(valid, corr, 0.0)
