@@ -58,7 +58,7 @@ def prediction_error_pallas(image: jnp.ndarray, coefficients: jnp.ndarray,
         # with the tap count (each shifted plane is a strip-sized buffer),
         # so wider windows shrink the strip to stay inside the 16 MB
         # scoped-vmem stack (1080p p=5 measured 17.45M at the p=3 budget)
-        budget = 240_000 if p == 3 else 240_000 * 8 // (p * p - 1)
+        budget = 240_000 * 8 // (p * p - 1)   # == 240_000 at p=3
         strip, rows_padded = pick_strip_for_width(rows, cols, budget, PAD)
     else:
         strip, rows_padded = pick_strip(rows, strip)

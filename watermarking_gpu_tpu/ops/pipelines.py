@@ -82,12 +82,12 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
                      fallback)
 
 
-def _mixed_wide_me(mask_type: str, p: int, impl: ImplName) -> bool:
+def _mixed_wide_me(mask_type: str, p: int) -> bool:
     """impl='pallas' with the generalized ME window (p>3) runs the MIXED
     pipeline: lag-decomposed XLA Gram + vectorized Cholesky + the
     wide-window Pallas predict kernel for the three prediction passes.
     (The p=3 fused kernels implement the 8-tap predictor only.)"""
-    return impl == "pallas" and mask_type == "me" and p != 3
+    return mask_type == "me" and p != 3
 
 
 def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
@@ -206,7 +206,7 @@ def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
     (engine-cached; see Watermark._padded_watermark).
     """
     image, output, watermark = map(_to_f32, (image, output, watermark))
-    if impl == "pallas" and not _mixed_wide_me(mask_type, p, impl):
+    if impl == "pallas" and not _mixed_wide_me(mask_type, p):
         return _embed_pipeline_fused(image, output, watermark,
                                      strength_factor_value, mask_type, p,
                                      watermark_padded)
@@ -236,7 +236,7 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     (Watermark.cpp:238-241). Returns 0.0 where the system is unsolvable.
     """
     image, watermark = map(_to_f32, (image, watermark))
-    if impl == "pallas" and not _mixed_wide_me(mask_type, p, impl):
+    if impl == "pallas" and not _mixed_wide_me(mask_type, p):
         from .pallas.fused import (fused_detect_partials_raw,
                                    fused_detect_tail_padded)
 
