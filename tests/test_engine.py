@@ -218,3 +218,36 @@ def test_warmup(small_image, small_watermark):
     eng.warmup(channels=3)
     assert ("embed", MaskType.ME, "xla") in eng._fn_cache
     assert ("detect", MaskType.NVF, "xla") in eng._fn_cache
+
+
+@pytest.mark.parametrize("impl,p", [("xla", 3), ("pallas", 3), ("xla", 5)])
+def test_detect_many_matches_looped_detect(small_image, rng, impl, p):
+    """detect_many (one dispatch, analysis shared across N candidates)
+    agrees with N independent detect_pipeline calls."""
+    from watermarking_gpu_tpu.ops.pipelines import (detect_many_pipeline,
+                                                    detect_pipeline)
+    h, w = small_image.shape
+    wms = rng.normal(size=(4, h, w)).astype(np.float32)
+    got = np.asarray(detect_many_pipeline(
+        jnp.asarray(small_image), jnp.asarray(wms), "me", p=p, impl=impl))
+    want = [float(detect_pipeline(jnp.asarray(small_image),
+                                  jnp.asarray(wm), "me", p=p, impl=impl))
+            for wm in wms]
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_detect_many_identifies_the_embedded_watermark(small_image, rng):
+    """The embedded candidate must win by a clear margin among decoys."""
+    h, w = small_image.shape
+    candidates = rng.normal(size=(6, h, w)).astype(np.float32)
+    true_index = 2
+    eng = Watermark(h, w, candidates[true_index], p=3, psnr=38.0,
+                    impl="xla")
+    marked, _ = eng.embed(small_image, mask_type=MaskType.ME)
+    corrs = np.asarray(eng.detect_many(np.asarray(marked), candidates))
+    assert corrs.shape == (6,)
+    assert int(np.argmax(corrs)) == true_index
+    decoys = np.delete(corrs, true_index)
+    assert corrs[true_index] > np.abs(decoys).max() + 0.3
+    with pytest.raises(ValueError, match="Candidate watermarks"):
+        eng.detect_many(np.asarray(marked), candidates[:, :-1])

@@ -24,7 +24,8 @@ import numpy as np
 
 from ..io.matfile import generate_watermark, load_watermark
 from ..ops.embed import strength_factor
-from ..ops.pipelines import detect_pipeline, embed_pipeline
+from ..ops.pipelines import (detect_many_pipeline, detect_pipeline,
+                             embed_pipeline)
 from .masks import MaskType
 
 _VALID_P = (3, 5, 7, 9)
@@ -204,6 +205,35 @@ class Watermark:
         return self._detect_fn(mask_type)(
             as_device_input(image), self.random_matrix,
             watermark_padded=self._padded_watermark(mask_type))
+
+    def detect_many(self, image, watermarks,
+                    mask_type: "MaskType | str" = MaskType.ME):
+        """Watermark identification: correlations of one grayscale image
+        against N candidate matrices, (N, rows, cols) -> (N,) device array.
+
+        The image analysis (Gram, solve, error sequence, mask) runs once
+        and is shared across the candidates — one dispatch instead of N
+        full detections (the reference can only loop
+        ``detectWatermark``, Watermark.cpp:234-250). The engine's own
+        ``random_matrix`` is NOT implied; pass every candidate explicitly.
+        """
+        mask_type = MaskType.parse(mask_type)
+        self._check_dims(image)
+        watermarks = jnp.asarray(watermarks, jnp.float32)
+        if watermarks.ndim != 3 or watermarks.shape[1:] != (self.rows,
+                                                            self.cols):
+            raise ValueError(
+                f"Candidate watermarks must be (N, {self.rows}, "
+                f"{self.cols}), got shape {watermarks.shape}")
+        impl = self._impl_for(mask_type)
+        key = ("detect_many", mask_type, impl)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(partial(detect_many_pipeline,
+                                 mask_type=mask_type.value, p=self.p,
+                                 impl=impl))
+            self._fn_cache[key] = fn
+        return fn(as_device_input(image), watermarks)
 
     def _check_dims(self, image) -> None:
         # exact shape: an RGB (H, W, 3) array passed as the grayscale
