@@ -234,6 +234,12 @@ def test_detect_many_matches_looped_detect(small_image, rng, impl, p):
                                   jnp.asarray(wm), "me", p=p, impl=impl))
             for wm in wms]
     np.testing.assert_allclose(got, want, atol=3e-4)
+    # batch-polymorphic over images: (B, H, W) x (N, H, W) -> (B, N)
+    stack = np.stack([small_image, small_image[::-1].copy()])
+    got_b = np.asarray(detect_many_pipeline(
+        jnp.asarray(stack), jnp.asarray(wms), "me", p=p, impl=impl))
+    assert got_b.shape == (2, 4)
+    np.testing.assert_allclose(got_b[0], got, atol=1e-5)
 
 
 def test_detect_many_identifies_the_embedded_watermark(small_image, rng):

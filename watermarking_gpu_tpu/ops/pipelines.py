@@ -278,21 +278,23 @@ def detect_many_pipeline(image: jnp.ndarray, watermarks: jnp.ndarray,
                          mask_type: MaskTypeName, p: int = 3,
                          impl: ImplName = "xla") -> jnp.ndarray:
     """Watermark identification: which of N candidate matrices does an
-    image carry? (H, W) image + (N, H, W) watermarks -> (N,) correlations.
+    image carry? (..., H, W) images + (N, H, W) watermarks -> (..., N)
+    correlations (batch-polymorphic like every pipeline).
 
     The image-dependent analysis — Gram, solve, error sequence ``e_z`` and
-    mask — is computed ONCE and shared across all N candidates; each
-    candidate then costs one masked prediction pass plus two reductions,
-    all inside a single dispatch. The reference can only loop N full
-    detections, re-running the whole analysis per call
+    mask — is computed ONCE per image and shared across all N candidates;
+    each candidate then costs one masked prediction pass plus two
+    reductions, all inside a single dispatch. The reference can only loop
+    N full detections, re-running the whole analysis per call
     (``Watermark::detectWatermark``, Watermark.cpp:234-250). Returns zeros
-    when the system is unsolvable (the usual soft-fail contract).
+    where the system is unsolvable (the usual soft-fail contract).
 
     ``impl='pallas'`` runs the prediction passes on the strip kernel; the
     analysis stays on the XLA formulations (its cost amortizes over N).
     """
     image, watermarks = map(_to_f32, (image, watermarks))
-    n = watermarks.shape[0]
+    n, rows, cols = watermarks.shape
+    batch_shape = image.shape[:-2]
     pred_p = p if mask_type == "me" else 3
     coefficients, valid = _analysis(image, impl, pred_p)
     e_z = _prediction_error(image, coefficients, impl, pred_p)
@@ -300,12 +302,18 @@ def detect_many_pipeline(image: jnp.ndarray, watermarks: jnp.ndarray,
         mask = me_mask_from_error(e_z)
     else:
         mask = nvf_mask(image, p=p)
-    u = mask[None] * watermarks                              # (N, H, W)
-    coeffs_n = jnp.broadcast_to(coefficients,
-                                (n,) + coefficients.shape)
-    e_u = _prediction_error(u, coeffs_n, impl, pred_p)
-    dot = jnp.sum(e_u * e_z[None], axis=(-2, -1))
+    u = mask[..., None, :, :] * watermarks           # (..., N, H, W)
+    coeffs_n = jnp.broadcast_to(
+        coefficients[..., None, :],
+        batch_shape + (n, coefficients.shape[-1]))
+    # flatten leading dims for the predictor (the strip kernel takes one
+    # leading batch axis), then restore
+    e_u = _prediction_error(
+        u.reshape((-1, rows, cols)),
+        coeffs_n.reshape((-1, coeffs_n.shape[-1])), impl, pred_p
+    ).reshape(batch_shape + (n, rows, cols))
+    dot = jnp.sum(e_u * e_z[..., None, :, :], axis=(-2, -1))
     norm_u = jnp.sqrt(jnp.sum(e_u * e_u, axis=(-2, -1)))
-    norm_z = jnp.sqrt(jnp.sum(e_z * e_z))
-    corr = dot / (norm_u * norm_z)
-    return jnp.where(valid, corr, 0.0)
+    norm_z = jnp.sqrt(jnp.sum(e_z * e_z, axis=(-2, -1)))
+    corr = dot / (norm_u * norm_z[..., None])
+    return jnp.where(valid[..., None], corr, 0.0)
