@@ -257,3 +257,22 @@ def test_detect_many_identifies_the_embedded_watermark(small_image, rng):
     assert corrs[true_index] > np.abs(decoys).max() + 0.3
     with pytest.raises(ValueError, match="Candidate watermarks"):
         eng.detect_many(np.asarray(marked), candidates[:, :-1])
+
+
+def test_detect_many_chunks_candidate_axis(small_image, rng, monkeypatch):
+    """With a tiny HBM budget the engine splits the candidate bank into
+    fixed-shape chunks (padded remainder, one compiled program) and the
+    concatenated result is identical to one dispatch; batched images go
+    through the same path."""
+    h, w = small_image.shape
+    cands = rng.normal(size=(7, h, w)).astype(np.float32)
+    eng = Watermark(h, w, cands[0], p=3, psnr=40.0, impl="xla")
+    full = np.asarray(eng.detect_many(small_image, cands))
+    monkeypatch.setattr(Watermark, "_DETECT_MANY_BUDGET_BYTES",
+                        3 * 2 * h * w * 4)   # 3 candidates per chunk
+    chunked = np.asarray(eng.detect_many(small_image, cands))
+    np.testing.assert_allclose(chunked, full, atol=1e-6)
+    stack = np.stack([small_image, small_image[::-1].copy()])
+    got = np.asarray(eng.detect_many(stack, cands))
+    assert got.shape == (2, 7)
+    np.testing.assert_allclose(got[0], full, atol=1e-6)

@@ -32,15 +32,12 @@ from watermarking_gpu_tpu.io.matfile import generate_watermark  # noqa: E402
 
 DEFAULT_IMAGE = "/root/reference/Watermark_GPU/samples/images/512.png"
 
-# Gaussian upper-tail quantiles: threshold = mean + z * std
-_Z_FOR_FPR = {1e-3: 3.09, 1e-4: 3.72, 1e-5: 4.27, 1e-6: 4.75, 1e-7: 5.20,
-              1e-8: 5.61}
-
-
 def _z_for(fpr: float) -> float:
-    keys = sorted(_Z_FOR_FPR)
-    best = min(keys, key=lambda k: abs(np.log10(k) - np.log10(fpr)))
-    return _Z_FOR_FPR[best]
+    """Exact Gaussian upper-tail quantile: threshold = mean + z * std."""
+    if not 0.0 < fpr < 0.5:
+        raise SystemExit(f"--fpr must be in (0, 0.5), got {fpr}")
+    from statistics import NormalDist
+    return NormalDist().inv_cdf(1.0 - fpr)
 
 
 def synthesize_variants(base: np.ndarray, count: int,
@@ -64,8 +61,10 @@ def main() -> int:
     parser.add_argument("--psnr", type=float, default=40.0)
     parser.add_argument("--images", type=int, default=8,
                         help="test-image variants for both distributions")
-    parser.add_argument("--nulls", type=int, default=64,
-                        help="random candidate matrices per image")
+    parser.add_argument("--nulls", type=int, default=256,
+                        help="random candidate matrices per image; these "
+                             "are the iid axis of the null estimate, so "
+                             "more candidates tighten the tail")
     parser.add_argument("--fpr", type=float, default=1e-6,
                         help="target false-positive rate")
     args = parser.parse_args()
@@ -79,10 +78,9 @@ def main() -> int:
                            for i in range(args.nulls)])
     engine = Watermark(rows, cols, candidates[0], p=args.p, psnr=args.psnr)
 
-    # Null: unmarked images vs every candidate (none embedded)
-    nulls = np.concatenate([
-        np.asarray(engine.detect_many(img, candidates, args.mask))
-        for img in images])
+    # Null: unmarked images vs every candidate (none embedded) — one
+    # batched dispatch for the whole (images, candidates) matrix
+    nulls_2d = np.asarray(engine.detect_many(images, candidates, args.mask))
 
     # Signal: each image embedded with its own matrix, detected against it
     signals = []
@@ -93,16 +91,26 @@ def main() -> int:
         signals.append(float(engine.detect(np.asarray(marked), args.mask)))
     signals = np.asarray(signals)
 
-    mu, sigma = float(nulls.mean()), float(nulls.std(ddof=1))
+    # Statistics: candidates are iid, image variants are correlated (they
+    # share the base image), so the iid axis is the candidate bank — use
+    # the WORST per-image spread, not the pooled std over images*nulls
+    # (pooling overstates the effective sample count).
+    per_image_std = nulls_2d.std(axis=1, ddof=1)
+    mu = float(nulls_2d.mean())
+    sigma = float(per_image_std.max())
     z = _z_for(args.fpr)
     threshold = mu + z * sigma
     misses = int((signals <= threshold).sum())
 
     print(f"geometry {rows}x{cols}, mask={args.mask}, p={args.p}, "
           f"psnr={args.psnr}")
-    print(f"null: n={nulls.size}  mean={mu:+.5f}  std={sigma:.5f}  "
-          f"max={float(nulls.max()):+.5f}")
-    print(f"threshold @ FPR {args.fpr:g} (z={z}): {threshold:+.5f}")
+    print(f"null: {args.images} images x {args.nulls} candidates  "
+          f"mean={mu:+.5f}  per-image std "
+          f"{float(per_image_std.min()):.5f}..{sigma:.5f}  "
+          f"max={float(nulls_2d.max()):+.5f}")
+    print(f"threshold @ FPR {args.fpr:g} (z={z:.2f}, Gaussian-tail "
+          f"extrapolation from {args.nulls} iid candidates/image; "
+          f"widen --nulls for tighter tails): {threshold:+.5f}")
     print(f"signal: n={signals.size}  mean={float(signals.mean()):+.4f}  "
           f"min={float(signals.min()):+.4f}")
     print(f"margin (signal min - threshold): "

@@ -206,19 +206,32 @@ class Watermark:
             as_device_input(image), self.random_matrix,
             watermark_padded=self._padded_watermark(mask_type))
 
+    # per-dispatch budget for detect_many's (B*chunk, H, W) prediction
+    # intermediates (u and e_u, f32): keeps large candidate banks on big
+    # frames clear of HBM exhaustion by chunking the candidate axis
+    _DETECT_MANY_BUDGET_BYTES = 2 * 1024 ** 3
+
     def detect_many(self, image, watermarks,
                     mask_type: "MaskType | str" = MaskType.ME):
-        """Watermark identification: correlations of one grayscale image
-        against N candidate matrices, (N, rows, cols) -> (N,) device array.
+        """Watermark identification: correlations of grayscale image(s)
+        against N candidate matrices. (rows, cols) image -> (N,); a
+        (B, rows, cols) stack -> (B, N).
 
-        The image analysis (Gram, solve, error sequence, mask) runs once
-        and is shared across the candidates — one dispatch instead of N
-        full detections (the reference can only loop
-        ``detectWatermark``, Watermark.cpp:234-250). The engine's own
-        ``random_matrix`` is NOT implied; pass every candidate explicitly.
+        The per-image analysis (Gram, solve, error sequence, mask) runs
+        once and is shared across the candidates — one dispatch instead of
+        N full detections (the reference can only loop ``detectWatermark``,
+        Watermark.cpp:234-250). Large banks are chunked along the candidate
+        axis so the (B*N_chunk, H, W) prediction intermediates stay inside
+        a fixed HBM budget. The engine's own ``random_matrix`` is NOT
+        implied; pass every candidate explicitly.
         """
         mask_type = MaskType.parse(mask_type)
-        self._check_dims(image)
+        image = jnp.asarray(image)
+        if image.shape[-2:] != (self.rows, self.cols) or image.ndim not in (
+                2, 3):
+            raise ValueError(
+                f"Images must be ({self.rows}, {self.cols}) or "
+                f"(B, {self.rows}, {self.cols}), got shape {image.shape}")
         watermarks = jnp.asarray(watermarks, jnp.float32)
         if watermarks.ndim != 3 or watermarks.shape[1:] != (self.rows,
                                                             self.cols):
@@ -233,7 +246,22 @@ class Watermark:
                                  mask_type=mask_type.value, p=self.p,
                                  impl=impl))
             self._fn_cache[key] = fn
-        return fn(as_device_input(image), watermarks)
+        image = as_device_input(image)
+        batch = image.shape[0] if image.ndim == 3 else 1
+        per_candidate = 2 * batch * self.rows * self.cols * 4  # u + e_u
+        chunk = max(1, self._DETECT_MANY_BUDGET_BYTES // per_candidate)
+        n = watermarks.shape[0]
+        if chunk >= n:
+            return fn(image, watermarks)
+        parts = [fn(image, watermarks[start:start + chunk])
+                 for start in range(0, n - n % chunk, chunk)]
+        if n % chunk:  # pad the remainder to the compiled chunk shape
+            tail = watermarks[n - n % chunk:]
+            pad = jnp.broadcast_to(tail[-1:],
+                                   (chunk - tail.shape[0],) + tail.shape[1:])
+            parts.append(fn(image, jnp.concatenate([tail, pad]))
+                         [..., :tail.shape[0]])
+        return jnp.concatenate(parts, axis=-1)
 
     def _check_dims(self, image) -> None:
         # exact shape: an RGB (H, W, 3) array passed as the grayscale

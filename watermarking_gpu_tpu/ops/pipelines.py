@@ -63,11 +63,11 @@ def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
 
 def _prediction_error(image: jnp.ndarray, coefficients: jnp.ndarray,
                       impl: ImplName, p: int) -> jnp.ndarray:
-    """Predictor routing for the non-fused branches: the generalized-ME
-    mixed pipeline (impl='pallas', p>3) runs the wide-window strip kernel
-    for its three prediction passes; the XLA oracle stays pure jnp. (The
-    p=3 fused pipelines never reach this — they return earlier with
-    everything fused.)"""
+    """Predictor routing for the non-fused branches (the generalized-ME
+    mixed pipeline and ``detect_many_pipeline``, which reaches this at
+    every p including 3): impl='pallas' runs the (p*p-1)-tap strip kernel;
+    the XLA oracle stays pure jnp. The p=3 fused embed/detect pipelines
+    never reach this — they return earlier with everything fused."""
     if impl == "pallas":
         from .pallas.predict_kernel import prediction_error_pallas
         return prediction_error_pallas(image, coefficients, p=p)
@@ -291,6 +291,9 @@ def detect_many_pipeline(image: jnp.ndarray, watermarks: jnp.ndarray,
 
     ``impl='pallas'`` runs the prediction passes on the strip kernel; the
     analysis stays on the XLA formulations (its cost amortizes over N).
+    Memory: the prediction intermediates are (B*N, H, W) f32 (u and e_u) —
+    for large candidate banks on big frames chunk the candidate axis at
+    the call site (``Watermark.detect_many`` does this automatically).
     """
     image, watermarks = map(_to_f32, (image, watermarks))
     n, rows, cols = watermarks.shape
