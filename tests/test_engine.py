@@ -276,3 +276,18 @@ def test_detect_many_chunks_candidate_axis(small_image, rng, monkeypatch):
     got = np.asarray(eng.detect_many(stack, cands))
     assert got.shape == (2, 7)
     np.testing.assert_allclose(got[0], full, atol=1e-6)
+
+
+def test_nvf_constant_image_keeps_psnr():
+    """Zero-variance image: the NVF mask is f32 rounding residue, so the
+    strength blows up (~2e4) — but the energy normalization holds the
+    PSNR target regardless of the mask's scale, and nothing goes
+    non-finite (the 0*inf hazard the naive formula would have)."""
+    const = np.full((64, 64), 128.0, dtype=np.float32)
+    eng = Watermark(64, 64, 7, p=3, psnr=40.0, impl="xla")
+    out, s = eng.embed(const, mask_type=MaskType.NVF)
+    out = np.asarray(out)
+    assert np.isfinite(out).all() and np.isfinite(float(s))
+    mse = float(np.mean((out - const) ** 2))
+    psnr = 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr > 38.0   # clamping can only remove embedding energy
