@@ -220,24 +220,27 @@ def test_warmup(small_image, small_watermark):
     assert ("detect", MaskType.NVF, "xla") in eng._fn_cache
 
 
-@pytest.mark.parametrize("impl,p", [("xla", 3), ("pallas", 3), ("xla", 5)])
-def test_detect_many_matches_looped_detect(small_image, rng, impl, p):
+@pytest.mark.parametrize("mask,impl,p", [
+    ("me", "xla", 3), ("me", "pallas", 3), ("me", "xla", 5),
+    ("nvf", "xla", 3), ("nvf", "xla", 5)])
+def test_detect_many_matches_looped_detect(small_image, rng, mask, impl, p):
     """detect_many (one dispatch, analysis shared across N candidates)
-    agrees with N independent detect_pipeline calls."""
+    agrees with N independent detect_pipeline calls — for both mask types
+    (the NVF branch shares the nvf_mask + p=3 predictor analysis)."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_many_pipeline,
                                                     detect_pipeline)
     h, w = small_image.shape
     wms = rng.normal(size=(4, h, w)).astype(np.float32)
     got = np.asarray(detect_many_pipeline(
-        jnp.asarray(small_image), jnp.asarray(wms), "me", p=p, impl=impl))
+        jnp.asarray(small_image), jnp.asarray(wms), mask, p=p, impl=impl))
     want = [float(detect_pipeline(jnp.asarray(small_image),
-                                  jnp.asarray(wm), "me", p=p, impl=impl))
+                                  jnp.asarray(wm), mask, p=p, impl=impl))
             for wm in wms]
     np.testing.assert_allclose(got, want, atol=3e-4)
     # batch-polymorphic over images: (B, H, W) x (N, H, W) -> (B, N)
     stack = np.stack([small_image, small_image[::-1].copy()])
     got_b = np.asarray(detect_many_pipeline(
-        jnp.asarray(stack), jnp.asarray(wms), "me", p=p, impl=impl))
+        jnp.asarray(stack), jnp.asarray(wms), mask, p=p, impl=impl))
     assert got_b.shape == (2, 4)
     np.testing.assert_allclose(got_b[0], got, atol=1e-5)
 

@@ -245,6 +245,19 @@ def test_fused_nvf_wide_windows(rng, p):
                                    atol=0.1)
 
 
+def test_wide_predict_budget_guard():
+    """p=9 on wide images cannot satisfy the predict kernel's VMEM strip
+    budget even at the 8-row minimum strip (one (strip+2*PAD)-row plane
+    per tap); the kernel must refuse with an actionable error instead of
+    hitting the 16 MB Mosaic scoped-VMEM compile failure."""
+    from watermarking_gpu_tpu.ops.pallas.predict_kernel import (
+        prediction_error_pallas)
+    img = jnp.zeros((16, 1536), jnp.float32)
+    coeffs = jnp.zeros((80,), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM strip budget"):
+        prediction_error_pallas(img, coeffs, p=9)
+
+
 def test_mixed_batch_singular_frame(rng):
     """A batch where one frame has a singular system: only that frame
     soft-fails (corr 0, embed passthrough), through the fused raw path."""

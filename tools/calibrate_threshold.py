@@ -12,8 +12,8 @@ the measured margins. The reference/thesis reads correlations by eye
 
 Usage:
     python tools/calibrate_threshold.py [image.png]
-        [--mask me] [--p 3] [--psnr 40] [--images 8] [--nulls 64]
-        [--fpr 1e-6]
+        [--mask me] [--p 3] [--psnr 40] [--images 8] [--nulls 256]
+        [--fpr 1e-6]          # --fpr must lie in (0, 0.5)
 """
 
 from __future__ import annotations

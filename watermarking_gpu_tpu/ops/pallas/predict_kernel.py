@@ -60,6 +60,17 @@ def prediction_error_pallas(image: jnp.ndarray, coefficients: jnp.ndarray,
         # scoped-vmem stack (1080p p=5 measured 17.45M at the p=3 budget)
         budget = 240_000 * 8 // (p * p - 1)   # == 240_000 at p=3
         strip, rows_padded = pick_strip_for_width(rows, cols, budget, PAD)
+        if (strip + 2 * PAD) * (cols + 2 * PAD) > budget:
+            # pick_strip_for_width clamps to the 8-row minimum strip; at
+            # p=9 on wide images even that exceeds the scoped-VMEM budget
+            # (the live set is one (strip+2*PAD)-row plane per tap), so the
+            # kernel would hit the 16 MB Mosaic compile error. Fail with
+            # the actionable message instead.
+            raise ValueError(
+                f"prediction_error_pallas: width {cols} at p={p} exceeds "
+                f"the VMEM strip budget ({budget} elems); use impl='xla' "
+                f"for this geometry (engines do so by default via "
+                f"Watermark._impl_for)")
     else:
         strip, rows_padded = pick_strip(rows, strip)
     padded = pad_image(image, PAD, rows_padded)
