@@ -17,14 +17,16 @@ from watermarking_gpu_tpu.ops.pallas.predict_kernel import (
 
 
 @pytest.fixture(scope="module")
-def image(rng):
+def image():
+    rng = np.random.default_rng(40961)
     return jnp.asarray(
         np.clip(rng.normal(128, 40, (40, 96)), 0, 255).astype(np.float32))
 
 
 @pytest.fixture(scope="module")
-def odd_image(rng):
+def odd_image():
     """Rows/cols not multiples of 8/128 exercise padding + masking."""
+    rng = np.random.default_rng(37831)
     return jnp.asarray(
         np.clip(rng.normal(128, 40, (37, 83)), 0, 255).astype(np.float32))
 
@@ -54,6 +56,38 @@ def test_me_gram_odd_shape_masks_padding(odd_image):
     rm2, rv2 = me.me_normal_equations(odd_image)
     np.testing.assert_allclose(np.asarray(rm), np.asarray(rm2), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rv), np.asarray(rv2), rtol=1e-4)
+
+
+@pytest.mark.parametrize("p", [5, 7, 9])
+def test_wide_gram_matches_oracle(rng, p):
+    """Generalized-window lag-Gram kernel (me_gram_wide) vs the XLA lag
+    formulation across raw-mode, padded-fallback, masked-bottom-strip and
+    batched geometries."""
+    from watermarking_gpu_tpu.ops.pallas.me_gram_wide import (
+        me_normal_equations_wide, wide_gram_supported)
+    h = p // 2
+    for shape in [(72, 72),      # raw mode with masked bottom strips
+                  (100, 130),    # padded fallback (rows % 8 != 0)
+                  (64, 96),      # raw, strip divides rows
+                  (6 * h, 6 * h)]:  # smallest supported geometry
+        assert wide_gram_supported(*shape, p)
+        img = jnp.asarray(np.clip(rng.normal(128, 40, shape), 0,
+                                  255).astype(np.float32))
+        rm, rv = me_normal_equations_wide(img, p)
+        rm2, rv2 = me.me_normal_equations(img, p)
+        np.testing.assert_allclose(np.asarray(rm), np.asarray(rm2),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(rv), np.asarray(rv2),
+                                   rtol=1e-4)
+    # batched
+    imgs = jnp.asarray(np.clip(rng.normal(128, 40, (3, 64, 96)), 0,
+                               255).astype(np.float32))
+    rm, rv = me_normal_equations_wide(imgs, p)
+    rm2, rv2 = me.me_normal_equations(imgs, p)
+    np.testing.assert_allclose(np.asarray(rm), np.asarray(rm2), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(rv2), rtol=1e-4)
+    # tiny images fall outside the supported geometry (XLA path covers them)
+    assert not wide_gram_supported(6 * h - 1, 96, p)
 
 
 def test_prediction_error_matches_oracle(image):
@@ -197,13 +231,13 @@ def test_precomputed_padded_watermark_identical(rng):
 
 @pytest.mark.parametrize("p,rows", [(5, 72), (7, 72), (9, 20)])
 def test_mixed_wide_me_matches_xla(rng, p, rows):
-    """impl='pallas' at ME p>3 runs the MIXED pipeline (lag XLA gram +
-    vectorized Cholesky + the wide-window Pallas predict kernel); its
-    results must match the pure-XLA path to f32-reduction-order noise.
-    p=9 is the PAD == p//2 stencil-reach boundary of the predict kernel,
-    run at a sub-lag-threshold height (the p=9 lag assembly compiles in
-    minutes; its math is covered by the p in {5,7} cases + the direct
-    formulation both paths share here)."""
+    """impl='pallas' at ME p>3 runs the FUSED wide pipeline (wide lag-Gram
+    kernel + wide-ring fused tails) at supported geometries, and the MIXED
+    pipeline (XLA lag gram + the wide-window Pallas predict kernel) below
+    the lag threshold; both must match the pure-XLA path to
+    f32-reduction-order noise. p=9 at rows=20 is the mixed fallback (too
+    small for the wide Gram) at the PAD == p//2 stencil-reach boundary of
+    the predict kernel."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
                                                     embed_pipeline)
 

@@ -18,13 +18,15 @@ SF = strength_factor(40.0)
 
 
 @pytest.fixture(scope="module")
-def frames(rng):
+def frames():
+    rng = np.random.default_rng(83264)
     return np.clip(
         rng.normal(128.0, 40.0, size=(8, 32, 64)), 0, 255).astype(np.float32)
 
 
 @pytest.fixture(scope="module")
-def watermark32(rng):
+def watermark32():
+    rng = np.random.default_rng(3264)
     return rng.normal(size=(32, 64)).astype(np.float32)
 
 

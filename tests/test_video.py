@@ -19,7 +19,8 @@ INTERVAL = 3
 
 
 @pytest.fixture(scope="module")
-def clip(tmp_path_factory, rng):
+def clip(tmp_path_factory):
+    rng = np.random.default_rng(253)
     root = tmp_path_factory.mktemp("video")
     path = root / "clip.yuv"
     path.write_bytes(synthesize(W, H, N_FRAMES, seed=3))

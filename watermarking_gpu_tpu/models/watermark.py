@@ -206,9 +206,11 @@ class Watermark:
             as_device_input(image), self.random_matrix,
             watermark_padded=self._padded_watermark(mask_type))
 
-    # per-dispatch budget for detect_many's (B*chunk, H, W) prediction
-    # intermediates (u and e_u, f32): keeps large candidate banks on big
-    # frames clear of HBM exhaustion by chunking the candidate axis
+    # per-dispatch HBM budget for detect_many: the XLA formulation's
+    # (B*chunk, H, W) prediction intermediates (u and e_u, f32), or the
+    # padded candidate bank for the fused kernel; keeps large candidate
+    # banks on big frames clear of HBM exhaustion by chunking the
+    # candidate axis
     _DETECT_MANY_BUDGET_BYTES = 2 * 1024 ** 3
 
     def detect_many(self, image, watermarks,
@@ -248,7 +250,16 @@ class Watermark:
             self._fn_cache[key] = fn
         image = as_device_input(image)
         batch = image.shape[0] if image.ndim == 3 else 1
-        per_candidate = 2 * batch * self.rows * self.cols * 4  # u + e_u
+        from ..ops.pipelines import _wide_me_fallback
+        if impl == "pallas" and not _wide_me_fallback(image, mask_type.value,
+                                                      self.p):
+            # fused multi-candidate kernel: no (B*N, H, W) u/e_u buffers —
+            # the dominant HBM cost is the padded candidate bank itself
+            # (~1.3x for the halo pad), so candidate chunks can be ~2B/batch
+            # larger than the XLA formulation allows
+            per_candidate = int(1.3 * self.rows * self.cols * 4)
+        else:
+            per_candidate = 2 * batch * self.rows * self.cols * 4  # u + e_u
         chunk = max(1, self._DETECT_MANY_BUDGET_BYTES // per_candidate)
         n = watermarks.shape[0]
         if chunk >= n:

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..neighbors import NEIGHBOR_OFFSETS
+from ..neighbors import NEIGHBOR_OFFSETS, neighbor_offsets
 from .common import (interpret_mode, pad_image, pick_strip_for_width,
                      raw_row_start, stage_raw_strip)
 
@@ -61,6 +61,15 @@ SHARED_BUDGET = 320_000  # elements; recalibrated for the raw-mode kernels:
 # raw path adds a (span, W+2*pad) staging scratch to the budget)
 
 
+def stencil_reach(mask_type: str, p: int) -> int:
+    """Halo rows/cols the fused tail kernels read beyond a strip.
+
+    ME: the e_z/u ring is h = p//2 deep and each ring row's taps reach h
+    further (2h total). NVF: the variance window reaches p//2 and the ring
+    ring+taps of the fixed 3x3 predictor one more (1 + p//2)."""
+    return 2 * (p // 2) if mask_type == "me" else 1 + p // 2
+
+
 def pipeline_geometry(rows: int, cols: int, mask_type: str,
                       p: int) -> tuple[int, int, int]:
     """(pad, strip, rows_padded) shared by every kernel of one pipeline.
@@ -72,7 +81,7 @@ def pipeline_geometry(rows: int, cols: int, mask_type: str,
     """
     from .common import pick_strip, raw_mode_ok
 
-    pad = 4 if (mask_type == "me" or 1 + p // 2 <= 4) else 8
+    pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
     strip, rows_padded = pick_strip_for_width(rows, cols, SHARED_BUDGET, pad)
     if not raw_mode_ok(rows, strip, rows_padded):
         budget_strip = max(8, (SHARED_BUDGET // (cols + 2 * pad) - 2 * pad)
@@ -99,15 +108,17 @@ def max_supported_cols(mask_type: str = "me", p: int = 3) -> int:
     (``/root/reference/Watermark_GPU/main.cpp:162``,
     CL_DEVICE_IMAGE2D_MAX_WIDTH).
     """
-    pad = 4 if (mask_type == "me" or 1 + p // 2 <= 4) else 8
+    pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
     return SHARED_BUDGET // (8 + 2 * pad) - 2 * pad
 
 
-def _error_region(ext, coeffs, base, span, width):
+def _error_region(ext, coeffs, base, span, width, p=3):
     """e = center - sum_k c_k * neighbor_k over a (span, width) region whose
-    top-left sits at (base, base) inside the padded strip."""
+    top-left sits at (base, base) inside the padded strip. ``p`` sizes the
+    predictor window ((p*p-1) taps; 3 everywhere the reference goes,
+    main.cpp:88-89 — wider windows serve the generalized-ME pipelines)."""
     acc = ext[base : base + span, base : base + width]
-    for k, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
+    for k, (dr, dc) in enumerate(neighbor_offsets(p)):
         acc = acc - coeffs[k] * ext[base + dr : base + dr + span,
                                     base + dc : base + dc + width]
     return acc
@@ -135,27 +146,35 @@ def _nvf_region(ext, base, span, width, p):
     return variance / (1.0 + variance)
 
 
-def _clamp_fix_ring(u_ext, strip_index, strip, rows, row_start):
+def _clamp_fix_ring(u_ext, strip_index, strip, rows, row_start, half=1):
     """Rebuild u's border ring with clamp-to-edge of u itself.
 
-    u_ext is (strip+2, width+2): row 0 / col 0 are the -1 halo, the last
-    row/col the +1 halo. Rows use global image indices — ``row_start`` (a
-    traced scalar, nonzero under spatial sharding) plus the strip offset —
-    so only strips touching the true image border get the fix; columns are
-    static.
+    u_ext is (strip+2*half, width+2*half): the first/last ``half`` rows
+    and columns are the halo ring (half = 1 for the reference's 3x3
+    predictor, p//2 for the generalized-ME windows). Rows use global image
+    indices — ``row_start`` (a traced scalar, nonzero under spatial
+    sharding) plus the strip offset — so only strips touching the true
+    image border get the fix; columns are static. Each of the ``half``
+    shift passes pulls ring row -d one step closer to row 0 (after all
+    passes every out-of-image row holds the edge row, exactly
+    clamp-to-edge of u).
     """
     span = u_ext.shape[0]
     width_ext = u_ext.shape[1]
-    base_row = row_start + strip_index * strip - 1
+    base_row = row_start + strip_index * strip - half
     g = base_row + jax.lax.broadcasted_iota(jnp.int32, (span, width_ext), 0)
-    shifted_down = jnp.concatenate([u_ext[1:], u_ext[-1:]], axis=0)
-    shifted_up = jnp.concatenate([u_ext[:1], u_ext[:-1]], axis=0)
-    u = jnp.where(g < 0, shifted_down, u_ext)          # top ring := row 0
-    u = jnp.where(g > rows - 1, shifted_up, u)         # bottom ring := row H-1
-    # columns: position 0 represents col -1, position width_ext-1 col W
-    left = u[:, 1:2]
-    right = u[:, width_ext - 2 : width_ext - 1]
-    return jnp.concatenate([left, u[:, 1 : width_ext - 1], right], axis=1)
+    u = u_ext
+    for _ in range(half):
+        shifted_down = jnp.concatenate([u[1:], u[-1:]], axis=0)
+        shifted_up = jnp.concatenate([u[:1], u[:-1]], axis=0)
+        u = jnp.where(g < 0, shifted_down, u)       # top ring := row 0
+        u = jnp.where(g > rows - 1, shifted_up, u)  # bottom ring := row H-1
+    # columns: position 0 represents col -half, the last col W-1+half
+    left = jnp.broadcast_to(u[:, half : half + 1], (span, half))
+    right = jnp.broadcast_to(u[:, width_ext - half - 1 : width_ext - half],
+                             (span, half))
+    return jnp.concatenate([left, u[:, half : width_ext - half], right],
+                           axis=1)
 
 
 def _detect_tail_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
@@ -164,26 +183,33 @@ def _detect_tail_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
                       masked: bool):
     wm_ext = wm_ref
     image_index = pl.program_id(0)
-    coeffs = [coeffs_ref[image_index * 8 + k] for k in range(8)]
+    # ME uses the generalized (p*p-1)-tap predictor; NVF keeps the
+    # reference's fixed 3x3 predictor at every p (p sizes only the NVF
+    # variance window, Watermark.cpp:238-241)
+    pred_p = p if mask_type == "me" else 3
+    taps = neighbor_offsets(pred_p)
+    n_taps = len(taps)
+    half = pred_p // 2    # e_z / u ring depth
+    coeffs = [coeffs_ref[image_index * n_taps + k] for k in range(n_taps)]
 
-    span = strip + 2   # e_z / u region including the +/-1 ring
-    wspan = width + 2
-    base = pad - 1
-    e_z_ext = _error_region(ext, coeffs, base, span, wspan)
+    span = strip + 2 * half   # e_z / u region including the ring
+    wspan = width + 2 * half
+    base = pad - half
+    e_z_ext = _error_region(ext, coeffs, base, span, wspan, pred_p)
     if mask_type == "me":
         mask_ext = jnp.abs(e_z_ext)       # unnormalized: corr is invariant
     else:
         mask_ext = _nvf_region(ext, base, span, wspan, p)
     u_ext = mask_ext * wm_ext[base : base + span, base : base + wspan]
     u_ext = _clamp_fix_ring(u_ext, strip_index, strip, total_rows,
-                            row0_ref[0])
+                            row0_ref[0], half)
 
     # e_u over the true center from u's own ring
-    e_u = u_ext[1 : 1 + strip, 1 : 1 + width]
-    for k, (dr, dc) in enumerate(NEIGHBOR_OFFSETS):
-        e_u = e_u - coeffs[k] * u_ext[1 + dr : 1 + dr + strip,
-                                      1 + dc : 1 + dc + width]
-    e_z = e_z_ext[1 : 1 + strip, 1 : 1 + width]
+    e_u = u_ext[half : half + strip, half : half + width]
+    for k, (dr, dc) in enumerate(taps):
+        e_u = e_u - coeffs[k] * u_ext[half + dr : half + dr + strip,
+                                      half + dc : half + dc + width]
+    e_z = e_z_ext[half : half + strip, half : half + width]
 
     if masked:   # mask off padded bottom rows of the final strip
         g = (strip_index * strip
@@ -351,14 +377,225 @@ def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
     return corr[0] if squeeze else corr
 
 
+# -- fused multi-candidate detect (watermark identification) -------------
+#
+# One strip pass computes e_z and the mask ONCE and then loops an
+# nc-candidate chunk of the watermark bank: u = mask * W_c, clamp-fix,
+# e_u, and per-candidate (dot, ||e_u||^2) lane partials — the image is
+# read once per chunk instead of once per candidate, and the (B*N, H, W)
+# u / e_u intermediates of the XLA formulation are never materialized.
+# The reference can only loop N full detections (Watermark.cpp:234-250).
+
+
+def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
+                      p: int) -> tuple[int, int, int, int]:
+    """(nc, pad, strip, rows_padded) for the multi-candidate kernel.
+
+    The candidate chunk's watermark block dominates VMEM (nc double-
+    buffered (strip+2h, W+2h) planes plus u/e_u temporaries), so the strip
+    budget shrinks with nc. nc=8 balances image re-reads (n/nc strip
+    passes) against strip height at 1080p-class widths.
+
+    Calibration: the per-plane multiplier is MEASURED, not derived — at
+    512^2/nc=8 the compiler's scoped-vmem accounting came to ~29 strip-
+    plane equivalents (wm double-buffer 16, raw image block + staging 3,
+    e_z/mask/u/e_u temporaries and Mosaic's own copies the rest), where
+    the naive live-set count said 21. The 2.6M-element numerator keeps the
+    worst case ~14.5 MB against the 16 MB scoped limit.
+    """
+    from .common import pick_strip, raw_mode_ok
+
+    pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
+    nc = min(8, n)
+    budget = 2_600_000 // (2 * nc + 5)
+    strip, rows_padded = pick_strip_for_width(rows, cols, budget, pad)
+    if not raw_mode_ok(rows, strip, rows_padded):
+        capped = max(8, rows // 2 // 8 * 8)
+        strip2, rows_padded2 = pick_strip(
+            rows, min(max(8, budget // (cols + 2 * pad) - 2 * pad), capped),
+            pad)
+        if raw_mode_ok(rows, strip2, rows_padded2):
+            return nc, pad, strip2, rows_padded2
+    return nc, pad, strip, rows_padded
+
+
+def _detect_many_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
+                      strip_index, *, pad: int, strip: int, width: int,
+                      rows: int, total_rows: int, mask_type: str, p: int,
+                      nc: int, masked: bool):
+    image_index = pl.program_id(0)
+    pred_p = p if mask_type == "me" else 3
+    taps = neighbor_offsets(pred_p)
+    n_taps = len(taps)
+    half = pred_p // 2
+    coeffs = [coeffs_ref[image_index * n_taps + k] for k in range(n_taps)]
+
+    span = strip + 2 * half
+    wspan = width + 2 * half
+    base = pad - half
+    e_z_ext = _error_region(ext, coeffs, base, span, wspan, pred_p)
+    if mask_type == "me":
+        mask_ext = jnp.abs(e_z_ext)
+    else:
+        mask_ext = _nvf_region(ext, base, span, wspan, p)
+    e_z = e_z_ext[half : half + strip, half : half + width]
+    if masked:
+        g = (strip_index * strip
+             + jax.lax.broadcasted_iota(jnp.int32, (strip, width), 0))
+        valid = (g < rows).astype(jnp.float32)
+        e_z = e_z * valid
+
+    @pl.when(strip_index == 0)
+    def _():
+        acc_ref[0, 0] = jnp.zeros_like(acc_ref[0, 0])
+
+    # norm_z accumulates in every chunk's block (the assembly reads chunk
+    # 0's copy); one extra sublane reduction per strip is noise
+    acc_ref[0, 0, 2 * nc, :] += jnp.sum(e_z * e_z, axis=0)
+
+    for c in range(nc):
+        u_ext = mask_ext * wm_ref[c, base : base + span,
+                                  base : base + wspan]
+        u_ext = _clamp_fix_ring(u_ext, strip_index, strip, total_rows,
+                                row0_ref[0], half)
+        e_u = u_ext[half : half + strip, half : half + width]
+        for k, (dr, dc) in enumerate(taps):
+            e_u = e_u - coeffs[k] * u_ext[half + dr : half + dr + strip,
+                                          half + dc : half + dc + width]
+        if masked:
+            e_u = e_u * valid
+        acc_ref[0, 0, 2 * c, :] += jnp.sum(e_u * e_z, axis=0)
+        acc_ref[0, 0, 2 * c + 1, :] += jnp.sum(e_u * e_u, axis=0)
+
+
+def _detect_many_kernel(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref, *,
+                        pad: int, strip: int, width: int, rows: int,
+                        total_rows: int, mask_type: str, p: int, nc: int,
+                        masked: bool):
+    _detect_many_core(coeffs_ref, row0_ref, img_ref[0], wm_ref, acc_ref,
+                      pl.program_id(2), pad=pad, strip=strip, width=width,
+                      rows=rows, total_rows=total_rows, mask_type=mask_type,
+                      p=p, nc=nc, masked=masked)
+
+
+def _detect_many_kernel_raw(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref,
+                            scratch, *, pad: int, strip: int, width: int,
+                            rows: int, rows_padded: int, total_rows: int,
+                            mask_type: str, p: int, nc: int, masked: bool):
+    strip_index = pl.program_id(2)
+    stage_raw_strip(img_ref, scratch, strip_index, pad=pad, strip=strip,
+                    rows=rows, rows_padded=rows_padded, cols=width)
+    _detect_many_core(coeffs_ref, row0_ref, scratch[:, :], wm_ref, acc_ref,
+                      strip_index, pad=pad, strip=strip, width=width,
+                      rows=rows, total_rows=total_rows, mask_type=mask_type,
+                      p=p, nc=nc, masked=masked)
+
+
+def fused_detect_many_partials(
+        img: jnp.ndarray, wm_stack: jnp.ndarray, coefficients: jnp.ndarray,
+        mask_type: str, p: int
+        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(dot (B, N), ||e_u||^2 (B, N), ||e_z||^2 (B,)) against N candidate
+    watermarks, one strip pass per nc-candidate chunk.
+
+    ``img`` is the raw (B, rows, cols) image; ``wm_stack`` the raw
+    (N, rows, cols) candidate bank; ``coefficients`` (B, k) the shared
+    per-image predictor (the analysis is image-only, so it amortizes over
+    candidates at the caller).
+    """
+    from .common import RAW_PAD, raw_mode_ok
+
+    batch, rows, cols = img.shape
+    n = wm_stack.shape[0]
+    nc, pad, strip, rows_padded = detect_many_chunk(n, rows, cols,
+                                                    mask_type, p)
+    use_raw = raw_mode_ok(rows, strip, rows_padded)
+    pad_used = RAW_PAD if use_raw else pad
+    n_pad = (n + nc - 1) // nc * nc
+    if n_pad != n:   # pad the bank to the chunk multiple; sliced off below
+        wm_stack = jnp.concatenate(
+            [wm_stack, jnp.broadcast_to(wm_stack[-1:],
+                                        (n_pad - n,) + wm_stack.shape[1:])])
+    wm_p = pad_image(wm_stack, pad_used, rows_padded)
+    n_chunks = n_pad // nc
+    slots = (2 * nc + 1 + 7) // 8 * 8
+    row_start = jnp.zeros((1,), jnp.int32)
+    kw = dict(pad=pad_used, strip=strip, width=cols, rows=rows,
+              total_rows=rows, mask_type=mask_type, p=p, nc=nc,
+              masked=rows_padded != rows)
+
+    # wm blocks start at the 8-aligned strip offset (Mosaic requires
+    # provably sublane-tile-divisible Element row offsets); the kernel
+    # slices the (pad - half) interior itself
+    wm_spec = pl.BlockSpec(
+        (pl.Element(nc), pl.Element(strip + 2 * pad_used),
+         pl.Element(cols + 2 * pad_used)),
+        lambda b, c, i, cf, r: (c * nc, i * strip, 0),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, slots, cols),
+                            lambda b, c, i, cf, r: (b, c, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((batch, n_chunks, slots, cols),
+                                     jnp.float32)
+    if use_raw:
+        span_raw = strip + 2 * pad_used
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, n_chunks, rows_padded // strip),
+            in_specs=[
+                pl.BlockSpec(
+                    (pl.Element(1), pl.Element(span_raw), pl.Element(cols)),
+                    lambda b, c, i, cf, r: (
+                        b, raw_row_start(i, strip, pad_used, rows), 0),
+                    memory_space=pltpu.VMEM),
+                wm_spec,
+            ],
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((span_raw, cols + 2 * pad_used),
+                                       jnp.float32)],
+        )
+        acc = pl.pallas_call(
+            partial(_detect_many_kernel_raw, rows_padded=rows_padded, **kw),
+            grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret_mode(),
+        )(coefficients.reshape(-1), row_start, img, wm_p)
+    else:
+        img_p = pad_image(img, pad_used, rows_padded)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, n_chunks, rows_padded // strip),
+            in_specs=[
+                pl.BlockSpec(
+                    (pl.Element(1), pl.Element(strip + 2 * pad_used),
+                     pl.Element(cols + 2 * pad_used)),
+                    lambda b, c, i, cf, r: (b, i * strip, 0),
+                    memory_space=pltpu.VMEM),
+                wm_spec,
+            ],
+            out_specs=out_spec,
+        )
+        acc = pl.pallas_call(
+            partial(_detect_many_kernel, **kw),
+            grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret_mode(),
+        )(coefficients.reshape(-1), row_start, img_p, wm_p)
+    dot = jnp.sum(acc[:, :, 0:2 * nc:2, :], axis=-1).reshape(batch, n_pad)
+    norm_u = jnp.sum(acc[:, :, 1:2 * nc:2, :], axis=-1).reshape(batch,
+                                                                n_pad)
+    norm_z = jnp.sum(acc[:, 0, 2 * nc, :], axis=-1)
+    return dot[:, :n], norm_u[:, :n], norm_z
+
+
 def _embed_field_core(coeffs_ref, ext, wm_ref, u_ref, acc_ref, strip_index,
                       *, pad: int, strip: int, width: int, rows: int,
                       mask_type: str, p: int, masked: bool):
     image_index = pl.program_id(0)
 
     if mask_type == "me":
-        coeffs = [coeffs_ref[image_index * 8 + k] for k in range(8)]
-        err = _error_region(ext, coeffs, pad, strip, width)
+        n_taps = p * p - 1
+        coeffs = [coeffs_ref[image_index * n_taps + k]
+                  for k in range(n_taps)]
+        err = _error_region(ext, coeffs, pad, strip, width, p)
         mask = jnp.abs(err)               # unnormalized (see module docstring)
     else:
         mask = _nvf_region(ext, pad, strip, width, p)

@@ -48,11 +48,30 @@ def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
     p=3 fused pallas pipelines run the fused gram + SPD solve inline
     (they share the padded image). ``p`` is the predictor window (3 in
     the reference; wider windows use the lag-decomposed gram).
+
+    impl='pallas' at p>3 runs the wide-window Pallas lag-Gram kernel
+    (one pass over the image for all ((4h+1)^2+1)/2 canonical lags) when
+    the geometry supports it; small images fall back to the XLA lag
+    formulation.
     """
-    del impl
-    rx_matrix, rx_vector = me_normal_equations(image, p)
     if p == 3:
+        rx_matrix, rx_vector = me_normal_equations(image, p)
         return solve_coefficients(rx_matrix, rx_vector)
+    if impl == "pallas":
+        from .pallas.me_gram_wide import (me_normal_equations_wide,
+                                          wide_gram_supported)
+        rows, cols = image.shape[-2:]
+        if wide_gram_supported(rows, cols, p):
+            # the wide kernel takes one leading batch axis; flatten/restore
+            lead = image.shape[:-2]
+            rx_matrix, rx_vector = me_normal_equations_wide(
+                image.reshape((-1, rows, cols)) if lead else image, p)
+            if lead:
+                k = p * p - 1
+                rx_matrix = rx_matrix.reshape(lead + (k, k))
+                rx_vector = rx_vector.reshape(lead + (k,))
+            return solve_coefficients_spd_vec(rx_matrix, rx_vector)
+    rx_matrix, rx_vector = me_normal_equations(image, p)
     # Generalized windows: the Gram is SPD; both batched LU (scalar
     # pivoting) and the n=8-style unrolled scalar Cholesky are
     # dispatch-bound at n=24 (~1 ms/frame, half the p=5 round trip). The
@@ -82,27 +101,28 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
                      fallback)
 
 
-def _mixed_wide_me(mask_type: str, p: int) -> bool:
-    """impl='pallas' with the generalized ME window (p>3) runs the MIXED
-    pipeline: lag-decomposed XLA Gram + vectorized Cholesky + the
-    wide-window Pallas predict kernel for the three prediction passes.
-    (The p=3 fused kernels implement the 8-tap predictor only.)"""
-    return mask_type == "me" and p != 3
+def _wide_me_fallback(image: jnp.ndarray, mask_type: str, p: int) -> bool:
+    """impl='pallas' with the generalized ME window (p>3) runs the FUSED
+    wide pipeline (wide lag-Gram kernel + wide-ring fused tails) whenever
+    the geometry supports the wide Gram. Images too small for the lag
+    windows fall back to the MIXED pipeline: XLA lag-decomposed Gram +
+    vectorized Cholesky + the wide-window Pallas predict kernel."""
+    if mask_type != "me" or p == 3:
+        return False
+    from .pallas.me_gram_wide import wide_gram_supported
+    return not wide_gram_supported(image.shape[-2], image.shape[-1], p)
 
 
 def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
                                 p: int = 3) -> jnp.ndarray | None:
     """RAW_PAD-padded watermark for the fused raw-mode kernels, or None
-    when raw mode does not apply to this geometry (or the mode takes no
-    fused-geometry watermark — the generalized-ME mixed pipeline).
+    when raw mode does not apply to this geometry.
 
     The padded watermark is call-invariant, so callers that dispatch many
     embeds/detects (engines, benchmarks) should pay this edge-pad copy once
     and pass the result as ``watermark_padded`` — at 4K with small batches
     the in-jit re-pad otherwise costs ~6% of the round trip.
     """
-    if mask_type == "me" and p != 3:
-        return None
     from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
     from .pallas.fused import pipeline_geometry
 
@@ -112,6 +132,30 @@ def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
         return None
     return jax.jit(pad_image, static_argnums=(1, 2))(
         jnp.asarray(watermark, jnp.float32), RAW_PAD, rows_padded)
+
+
+def _fused_analysis(img3, pred_p: int):
+    """Pallas Gram + SPD solve -> (coefficients, valid) for a (B, H, W)
+    stack. pred_p=3 runs the 13-lag kernel (raw mode when the geometry
+    allows); wider windows the wide lag kernel (its own geometry)."""
+    from .me import solve_coefficients_spd
+    from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
+    from .pallas.fused import pipeline_geometry
+    from .pallas.me_kernel import me_gram_padded, me_gram_raw
+
+    if pred_p != 3:
+        from .pallas.me_gram_wide import me_gram_wide
+        gram = me_gram_wide(img3, pred_p)
+        k = pred_p * pred_p - 1
+        return solve_coefficients_spd_vec(gram[:, :k, :k], gram[:, :k, k])
+    batch, rows, cols = img3.shape
+    pad, strip, rows_padded = pipeline_geometry(rows, cols, "me", 3)
+    if raw_mode_ok(rows, strip, rows_padded):
+        gram = me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)
+    else:
+        gram = me_gram_padded(pad_image(img3, pad, rows_padded), rows,
+                              cols, pad, strip, rows_padded)
+    return solve_coefficients_spd(gram[:, :8, :8], gram[:, :8, 8])
 
 
 def _fused_front(img3, watermark, watermark_padded, mask_type, p,
@@ -139,7 +183,15 @@ def _fused_front(img3, watermark, watermark_padded, mask_type, p,
     else:
         wm_p = pad_image(watermark, pad_used, rows_padded)
     img_p = None if use_raw else pad_image(img3, pad, rows_padded)
-    if need_gram:
+    if need_gram and mask_type == "me" and p != 3:
+        # generalized window: the wide lag-Gram kernel runs its own
+        # (pad >= 3h) geometry straight off the raw image
+        from .pallas.me_gram_wide import me_gram_wide
+        gram = me_gram_wide(img3, p)
+        k = p * p - 1
+        coefficients, valid = solve_coefficients_spd_vec(
+            gram[:, :k, :k], gram[:, :k, k])
+    elif need_gram:
         gram = (me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)
                 if use_raw else
                 me_gram_padded(img_p, rows, cols, pad, strip, rows_padded))
@@ -206,7 +258,7 @@ def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
     (engine-cached; see Watermark._padded_watermark).
     """
     image, output, watermark = map(_to_f32, (image, output, watermark))
-    if impl == "pallas" and not _mixed_wide_me(mask_type, p):
+    if impl == "pallas" and not _wide_me_fallback(image, mask_type, p):
         return _embed_pipeline_fused(image, output, watermark,
                                      strength_factor_value, mask_type, p,
                                      watermark_padded)
@@ -236,7 +288,7 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
     (Watermark.cpp:238-241). Returns 0.0 where the system is unsolvable.
     """
     image, watermark = map(_to_f32, (image, watermark))
-    if impl == "pallas" and not _mixed_wide_me(mask_type, p):
+    if impl == "pallas" and not _wide_me_fallback(image, mask_type, p):
         from .pallas.fused import (fused_detect_partials_raw,
                                    fused_detect_tail_padded)
 
@@ -289,16 +341,27 @@ def detect_many_pipeline(image: jnp.ndarray, watermarks: jnp.ndarray,
     (``Watermark::detectWatermark``, Watermark.cpp:234-250). Returns zeros
     where the system is unsolvable (the usual soft-fail contract).
 
-    ``impl='pallas'`` runs the prediction passes on the strip kernel; the
-    analysis stays on the XLA formulations (its cost amortizes over N).
-    Memory: the prediction intermediates are (B*N, H, W) f32 (u and e_u) —
-    for large candidate banks on big frames chunk the candidate axis at
-    the call site (``Watermark.detect_many`` does this automatically).
+    ``impl='pallas'`` runs the FUSED multi-candidate kernel: one strip
+    pass per nc-candidate chunk computes e_z and the mask once and
+    accumulates per-candidate (dot, ||e_u||^2) lane partials — the image
+    is read n/nc times instead of n, and the (B*N, H, W) u / e_u
+    intermediates of the XLA formulation are never materialized
+    (``fused.fused_detect_many_partials``). Tiny generalized-ME frames
+    fall back to the XLA formulation below.
     """
     image, watermarks = map(_to_f32, (image, watermarks))
     n, rows, cols = watermarks.shape
     batch_shape = image.shape[:-2]
     pred_p = p if mask_type == "me" else 3
+    if impl == "pallas" and not _wide_me_fallback(image, mask_type, p):
+        from .pallas.fused import fused_detect_many_partials
+        img3 = image.reshape((-1, rows, cols))
+        coefficients, valid = _fused_analysis(img3, pred_p)
+        dot, norm_u, norm_z = fused_detect_many_partials(
+            img3, watermarks, coefficients, mask_type, p)
+        corr = dot / jnp.sqrt(norm_u * norm_z[:, None])
+        corr = jnp.where(valid[:, None], corr, 0.0)
+        return corr.reshape(batch_shape + (n,))
     coefficients, valid = _analysis(image, impl, pred_p)
     e_z = _prediction_error(image, coefficients, impl, pred_p)
     if mask_type == "me":

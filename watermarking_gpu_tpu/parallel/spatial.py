@@ -294,9 +294,10 @@ def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
 def check_me_window(mask_type: str, p: int, impl: str) -> None:
     """The per-shard *fused kernels* implement the p=3 predictor; the
     XLA shard path generalizes ME to any window (it exchanges a p//2-row
-    halo). Single-device impl='pallas' at ME p>3 runs the mixed pipeline
-    instead (pipelines._mixed_wide_me); the sharded pallas path has no
-    mixed variant, so it rejects at factory time."""
+    halo). Single-device impl='pallas' at ME p>3 runs the fused wide
+    pipeline (pipelines._wide_me_fallback routing); the sharded pallas
+    path has no wide variant (the wide Gram pads locally, which would be
+    wrong at interior seams), so it rejects at factory time."""
     if impl == "pallas" and mask_type == "me" and p != 3:
         raise ValueError(
             f"spatial/hybrid impl='pallas' supports the ME mask at p=3 "
