@@ -9,13 +9,15 @@ from watermarking_gpu_tpu.serving import DetectorService, EmbedderService
 
 
 @pytest.fixture(scope="module")
-def engine(rng):
+def engine():
+    rng = np.random.default_rng(4864)
     wm = rng.normal(size=(48, 64)).astype(np.float32)
     return BatchedWatermark(48, 64, wm, p=3, psnr=35.0, impl="xla")
 
 
 @pytest.fixture(scope="module")
-def frames(rng):
+def frames():
+    rng = np.random.default_rng(114864)
     return np.clip(rng.normal(128, 40, (11, 48, 64)), 0,
                    255).astype(np.float32)
 
@@ -164,3 +166,77 @@ def test_multichip_serving_generalized_me(rng, frames):
     finally:
         service.close()
     np.testing.assert_allclose(got, direct, atol=1e-4)
+
+
+def test_submission_backpressure(engine):
+    """A producer faster than the device blocks on the bounded queue
+    instead of buffering frames without limit; with a timeout, submit
+    fails fast with queue.Full."""
+    import queue as queue_mod
+    import threading
+    import time
+
+    release = threading.Event()
+
+    class SlowEngine:
+        rows, cols = engine.rows, engine.cols
+        random_matrix = engine.random_matrix
+
+        def detect(self, stack, mask_type):
+            release.wait(timeout=30)
+            return np.zeros(stack.shape[0], np.float32)
+
+    frame = np.zeros((engine.rows, engine.cols), np.float32)
+    service = DetectorService(SlowEngine(), batch_size=1, max_inflight=1,
+                              flush_timeout=0.001, max_queued=2)
+    try:
+        futures = [service.submit(frame)]      # dispatched, engine stalls
+        time.sleep(0.05)                       # let the dispatcher pick it
+        futures += [service.submit(frame) for _ in range(2)]  # fills queue
+        assert service._submissions.qsize() == 2
+        with pytest.raises(queue_mod.Full):
+            service.submit(frame, timeout=0.05)
+        # a blocking submit parks until the device frees a slot
+        unblocked = []
+
+        def producer():
+            unblocked.append(service.submit(frame))
+
+        thread = threading.Thread(target=producer)
+        thread.start()
+        time.sleep(0.05)
+        assert thread.is_alive()               # blocked: queue still full
+        release.set()                          # device drains
+        thread.join(timeout=30)
+        assert not thread.is_alive()
+        futures += unblocked
+        assert all(np.isfinite(f.result(timeout=30)) for f in futures)
+    finally:
+        release.set()
+        service.close()
+
+
+def test_spatial_mesh_serving_matches_single(engine, frames):
+    """Services over a hybrid DP x SP mesh (frames row-sharded across the
+    space axis — the path for frames too large for one chip): results
+    match single-device serving."""
+    from watermarking_gpu_tpu.parallel import make_mesh
+    mesh = make_mesh(data=2, space=4)
+    direct = np.asarray(engine.detect(frames[:4], MaskType.ME))
+    ref_marked, ref_s = engine.embed(frames[:1], mask_type=MaskType.ME)
+    service = DetectorService(engine, batch_size=4, mesh=mesh)
+    embedder = EmbedderService(engine, batch_size=2, mesh=mesh)
+    try:
+        got = [f.result(timeout=120)
+               for f in [service.submit(x) for x in frames[:4]]]
+        marked, strength = embedder.submit(frames[0]).result(timeout=120)
+    finally:
+        service.close()
+        embedder.close()
+    np.testing.assert_allclose(got, direct, atol=1e-4)
+    np.testing.assert_allclose(marked, np.asarray(ref_marked)[0], atol=1e-2)
+    assert strength == pytest.approx(float(np.asarray(ref_s)[0]), rel=1e-4)
+
+    with pytest.raises(ValueError, match="rows .* must divide"):
+        DetectorService(engine, batch_size=2,
+                        mesh=make_mesh(data=1, space=5))

@@ -30,24 +30,44 @@ class _BatchingService:
     With ``mesh`` set, each batch is frame-sharded over the mesh's ``data``
     axis and every chip runs the engine's pipeline on its local frames —
     multi-chip serving with zero cross-chip communication (the batch size
-    must be a multiple of the data-axis size).
+    must be a multiple of the data-axis size). A mesh with a ``space``
+    axis > 1 additionally row-shards every frame across that axis (the
+    hybrid DP×SP path, halo exchange over ICI) — the serving story for
+    frames too large for one chip's HBM.
+
+    ``max_queued`` bounds the submission queue: a producer faster than the
+    device blocks in ``submit`` instead of buffering frames without limit
+    (1080p f32 frames at a few hundred fps of excess would be ~GB/min of
+    host RAM). ``None`` restores the unbounded queue.
     """
 
     def __init__(self, engine: BatchedWatermark, mask_type, batch_size: int,
-                 max_inflight: int, flush_timeout: float, mesh=None):
+                 max_inflight: int, flush_timeout: float, mesh=None,
+                 max_queued: int | None = 256):
         self.engine = engine
         self.mask_type = MaskType.parse(mask_type)
         self.batch_size = batch_size
         self.flush_timeout = flush_timeout
         self.mesh = mesh
+        self._space = 1
         if mesh is not None:
-            from .parallel import replicate
+            from .parallel import replicate, shard_watermark
             if batch_size % mesh.shape["data"]:
                 raise ValueError(
                     f"batch_size {batch_size} must be a multiple of the "
                     f"mesh data axis ({mesh.shape['data']})")
-            self._wm_replicated = replicate(mesh, engine.random_matrix)
-        self._submissions: queue.Queue = queue.Queue()
+            self._space = dict(mesh.shape).get("space", 1)
+            if self._space > 1:
+                if engine.rows % self._space:
+                    raise ValueError(
+                        f"rows {engine.rows} must divide over the mesh "
+                        f"space axis ({self._space})")
+                self._wm_replicated = shard_watermark(mesh,
+                                                      engine.random_matrix)
+            else:
+                self._wm_replicated = replicate(mesh, engine.random_matrix)
+        self._submissions: queue.Queue = queue.Queue(
+            maxsize=max_queued if max_queued else 0)
         self._inflight: queue.Queue = queue.Queue(maxsize=max_inflight)
         self._closed = False
         # guards _closed vs submissions: a submit racing close() must not
@@ -142,13 +162,25 @@ class _BatchingService:
                          else (result,)):
                 np.asarray(leaf)
 
-    def submit(self, image: np.ndarray) -> Future:
+    def submit(self, image: np.ndarray,
+               timeout: float | None = None) -> Future:
+        """Enqueue one frame; returns a Future.
+
+        When the bounded submission queue is full, blocks until the
+        dispatcher frees a slot (backpressure) — or raises ``queue.Full``
+        after ``timeout`` seconds if one is given (fail-fast mode for
+        latency-sensitive producers).
+        """
         frame = np.ascontiguousarray(image)
         with self._close_lock:
             if self._closed:
                 raise RuntimeError("service is closed")
             future: Future = Future()
-            self._submissions.put((future, frame))
+            # the put stays under the lock (a submit racing close() must
+            # not land after the None sentinel); a blocked producer holds
+            # the lock, which simply extends the backpressure to other
+            # producers and makes close() wait its turn
+            self._submissions.put((future, frame), timeout=timeout)
         return future
 
     def close(self):
@@ -166,28 +198,36 @@ class _BatchingService:
 class DetectorService(_BatchingService):
     """submit(gray frame) -> Future[float correlation].
 
-    ``mesh``: optional jax.sharding.Mesh for frame-parallel multi-chip
-    serving (see _BatchingService).
+    ``mesh``: optional jax.sharding.Mesh for multi-chip serving — frame-
+    parallel over the ``data`` axis, and (with a ``space`` axis > 1)
+    row-sharded frames over ICI halo exchange (see _BatchingService).
     """
 
     def __init__(self, engine: BatchedWatermark,
                  mask_type: "MaskType | str" = MaskType.ME,
                  batch_size: int = 8, max_inflight: int = 2,
-                 flush_timeout: float = 0.005, mesh=None):
+                 flush_timeout: float = 0.005, mesh=None,
+                 max_queued: int | None = 256):
         super().__init__(engine, mask_type, batch_size, max_inflight,
-                         flush_timeout, mesh)
+                         flush_timeout, mesh, max_queued)
         if mesh is not None:
-            from .parallel import make_dp_detect
             # per-mask impl: generalized ME (p>3) runs the XLA path even on
             # a pallas engine (Watermark._impl_for)
-            self._dp_fn = make_dp_detect(
-                mesh, self.mask_type.value, p=engine.p,
-                impl=engine._impl_for(self.mask_type))
+            impl = engine._impl_for(self.mask_type)
+            if self._space > 1:
+                from .parallel import make_hybrid_detect
+                self._dp_fn = make_hybrid_detect(
+                    mesh, self.mask_type.value, p=engine.p, impl=impl)
+            else:
+                from .parallel import make_dp_detect
+                self._dp_fn = make_dp_detect(
+                    mesh, self.mask_type.value, p=engine.p, impl=impl)
 
     def _run_batch(self, stack):
         if self.mesh is not None:
-            from .parallel import shard_frames
-            return self._dp_fn(shard_frames(self.mesh, stack),
+            from .parallel import shard_frames, shard_hybrid
+            shard = (shard_hybrid if self._space > 1 else shard_frames)
+            return self._dp_fn(shard(self.mesh, stack),
                                self._wm_replicated)
         return self.engine.detect(stack, self.mask_type)
 
@@ -198,27 +238,37 @@ class DetectorService(_BatchingService):
 class EmbedderService(_BatchingService):
     """submit(gray frame) -> Future[(watermarked ndarray, strength)].
 
-    ``mesh``: optional jax.sharding.Mesh for frame-parallel multi-chip
-    serving (see _BatchingService).
+    ``mesh``: optional jax.sharding.Mesh for multi-chip serving — frame-
+    parallel over the ``data`` axis, and (with a ``space`` axis > 1)
+    row-sharded frames over ICI halo exchange (see _BatchingService).
     """
 
     def __init__(self, engine: BatchedWatermark,
                  mask_type: "MaskType | str" = MaskType.ME,
                  batch_size: int = 8, max_inflight: int = 2,
-                 flush_timeout: float = 0.005, mesh=None):
+                 flush_timeout: float = 0.005, mesh=None,
+                 max_queued: int | None = 256):
         super().__init__(engine, mask_type, batch_size, max_inflight,
-                         flush_timeout, mesh)
+                         flush_timeout, mesh, max_queued)
         if mesh is not None:
-            from .parallel import make_dp_embed
             # per-mask impl, as in DetectorService
-            self._dp_fn = make_dp_embed(
-                mesh, self.mask_type.value, engine.strength_factor,
-                p=engine.p, impl=engine._impl_for(self.mask_type))
+            impl = engine._impl_for(self.mask_type)
+            if self._space > 1:
+                from .parallel import make_hybrid_embed
+                self._dp_fn = make_hybrid_embed(
+                    mesh, self.mask_type.value, engine.strength_factor,
+                    engine.rows, engine.cols, p=engine.p, impl=impl)
+            else:
+                from .parallel import make_dp_embed
+                self._dp_fn = make_dp_embed(
+                    mesh, self.mask_type.value, engine.strength_factor,
+                    p=engine.p, impl=impl)
 
     def _run_batch(self, stack):
         if self.mesh is not None:
-            from .parallel import shard_frames
-            sharded = shard_frames(self.mesh, stack)
+            from .parallel import shard_frames, shard_hybrid
+            shard = (shard_hybrid if self._space > 1 else shard_frames)
+            sharded = shard(self.mesh, stack)
             return self._dp_fn(sharded, sharded, self._wm_replicated)
         return self.engine.embed(stack, mask_type=self.mask_type)
 
