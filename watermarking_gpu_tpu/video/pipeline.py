@@ -134,7 +134,7 @@ def _check_video_dims(width: int, height: int, p: int = 3) -> None:
 
 
 def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
-                out=None) -> int:
+                out=None, stats: dict | None = None) -> int:
     """Watermark every interval-th frame; stream everything to the sink.
 
     TPU-grade ingest (vs the reference's synchronous pinned-buffer loop,
@@ -143,8 +143,14 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
     and one batch stays in flight while the next accumulates — transfer and
     compute overlap, and at interval=1 the dispatch cost amortizes over
     ``embed_batch`` frames instead of one D2H round trip per frame.
+
+    ``stats``: optional dict; when given, filled with the pipeline's wait
+    decomposition (seconds blocked on the source pump / device results /
+    the sink pump, wall time, batch count) so benchmarks can report where
+    an end-to-end run actually spends its time (overlap efficiency).
     """
     out = sys.stdout if out is None else out
+    waits = {"read_s": 0.0, "collect_s": 0.0, "write_s": 0.0, "batches": 0}
     source = FrameSource(settings)
     try:
         _check_video_dims(source.width, source.height, settings.p)
@@ -177,22 +183,29 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
             batch_size)
         marked, _ = engine.embed_luma_u8(lumas, MaskType.ME)  # async
         pending.append((real, items, marked))
+        waits["batches"] += 1
         items = []
 
     def collect(block_all=False):
         while pending and (block_all or len(pending) > 1):
             real, batch_items, marked = pending.pop(0)
+            t0 = time.perf_counter()
             host = np.asarray(marked)              # u8 D2H pull
+            waits["collect_s"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             for i, (frame, followers) in enumerate(batch_items[:real]):
                 _, u, v = split_planes(frame, width, height)
                 sink.put(host[i].tobytes() + u.tobytes() + v.tobytes())
                 for follower in followers:
                     sink.put(follower.tobytes())
+            waits["write_s"] += time.perf_counter() - t0
 
     start = time.perf_counter()
     try:
         while True:
+            t0 = time.perf_counter()
             frame = source.next()
+            waits["read_s"] += time.perf_counter() - t0
             if frame is None:
                 break
             if frames % interval == 0:
@@ -215,6 +228,8 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
         elapsed = time.perf_counter() - start
         source.close()
         sink.close()
+    if stats is not None:
+        stats.update(waits, wall_s=elapsed, frames=frames)
     print(f"\nWatermark embedding total execution time: "
           f"{execution_time(False, elapsed)}", file=out)
     return frames
