@@ -344,21 +344,26 @@ def main():
                 frames, watermark, mask_type, impl, size_iters)
             print(key, report["results"][key], flush=True)
 
-    # generalized ME at p=5 (framework extension; the reference rejects ME
-    # at p != 3, main.cpp:88-89) — the engines' routing: pure XLA (lag
-    # gram + fused shift-accumulate predicts; measured faster than the
-    # mixed pallas-predict variant, see Watermark._impl_for)
-    p5_cases = [("512", iters[0] * 16, iters[1] * 16)]
+    # generalized ME at p in {5, 7, 9} (framework extension; the reference
+    # rejects ME at p != 3, main.cpp:88-89) — the engines' routing: the
+    # FUSED wide pipeline (wide Pallas lag-Gram kernel + generalized fused
+    # tails), measured 1.8x the pure-XLA lag formulation at 1080p p=5
+    # (Watermark._impl_for)
+    wide_cases = [("512", 5, iters[0] * 16, iters[1] * 16)]
     if not args.quick:
-        p5_cases.append(("1080p", iters[0] * 2, iters[1] * 2))
-    for name, ks, kl in p5_cases:
+        wide_cases += [("1080p", 5, iters[0] * 2, iters[1] * 2),
+                       ("1080p", 7, iters[0] * 2, iters[1] * 2),
+                       ("1080p", 9, iters[0], iters[1]),
+                       ("4k", 5, iters[0], iters[1])]
+    for name, p, ks, kl in wide_cases:
         rows, cols, image_file = SIZES[name]
-        frames = load_frames(rows, cols, image_file, 8)
+        frames = load_frames(rows, cols, image_file,
+                             8 if rows <= 1080 else 2)
         watermark = generate_watermark(rows, cols, 28390211).astype(
             np.float32)
-        key = f"embed_detect_{name}_me_p5"
+        key = f"embed_detect_{name}_me_p{p}"
         report["results"][key] = measure_roundtrip(
-            frames, watermark, "me", "xla", (ks, kl), p=5)
+            frames, watermark, "me", "pallas", (ks, kl), p=p)
         print(key, report["results"][key], flush=True)
 
     report["results"]["video_detect_1080p"] = video_detect_benchmark()

@@ -232,12 +232,11 @@ def test_precomputed_padded_watermark_identical(rng):
 @pytest.mark.parametrize("p,rows", [(5, 72), (7, 72), (9, 20)])
 def test_mixed_wide_me_matches_xla(rng, p, rows):
     """impl='pallas' at ME p>3 runs the FUSED wide pipeline (wide lag-Gram
-    kernel + wide-ring fused tails) at supported geometries, and the MIXED
-    pipeline (XLA lag gram + the wide-window Pallas predict kernel) below
-    the lag threshold; both must match the pure-XLA path to
-    f32-reduction-order noise. p=9 at rows=20 is the mixed fallback (too
-    small for the wide Gram) at the PAD == p//2 stencil-reach boundary of
-    the predict kernel."""
+    kernel + wide-ring fused tails) at supported geometries and must match
+    the pure-XLA path to f32-reduction-order noise. p=9 at rows=20 sits
+    below the wide Gram's lag threshold — there the pipelines route to
+    the pure-XLA formulation themselves (pipelines._wide_me_fallback), so
+    that row pins the fallback's trivial parity."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
                                                     embed_pipeline)
 
@@ -331,3 +330,18 @@ def test_pallas_singular_system(rng):
     assert (float(corr) == 0.0) == (float(corr_x) == 0.0)
     if float(strength) == 0.0:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(const))
+
+
+@pytest.mark.parametrize("p", [5, 9])
+def test_wide_predict_kernel_matches_oracle(rng, p):
+    """Direct parity of the wide-window ((p*p-1)-tap) Pallas predict
+    kernel vs the XLA stencil — the kernel's remaining pipeline user is
+    detect_many's small-frame ME fallback, so this pins it directly
+    (p=9 is the PAD == p//2 stencil-reach boundary)."""
+    k = p * p - 1
+    img = jnp.asarray(np.clip(rng.normal(128, 40, (48, 96)), 0,
+                              255).astype(np.float32))
+    coeffs = jnp.asarray(rng.normal(0, 1.0 / k, (k,)).astype(np.float32))
+    got = np.asarray(prediction_error_pallas(img, coeffs, p=p))
+    want = np.asarray(me.prediction_error(img, coeffs, p))
+    np.testing.assert_allclose(got, want, atol=1e-3)

@@ -133,15 +133,15 @@ class Watermark:
 
     def _impl_for(self, mask_type: MaskType) -> str:
         """Per-mask implementation. The generalized ME mask (p in {5,7,9},
-        the capability the reference TODO'd away at main.cpp:88-89) routes
-        to the pure-XLA path: its lag-decomposed gram + fused
-        shift-accumulate prediction MEASURE FASTER than the mixed
-        pallas-predict variant (1080p p=5: 526 vs 438 fps — the wide
-        kernel's 24 live plane temporaries force small VMEM strips). The
-        mixed pipeline remains reachable by passing impl='pallas'
-        explicitly. NVF keeps the engine's impl at every p."""
-        if mask_type is MaskType.ME and self.p != 3:
-            return "xla"
+        the capability the reference TODO'd away at main.cpp:88-89) keeps
+        the engine's impl since the FUSED wide pipeline landed (wide
+        lag-Gram kernel + generalized fused tails): it MEASURES 1.8x
+        faster than the pure-XLA path at 1080p p=5 (994 vs 541 fps; the
+        r2-era mixed pipeline that lost to XLA is now only the small-image
+        fallback inside pipelines._wide_me_fallback). Mesh paths still
+        resolve ME p>3 to XLA at their own factory checks
+        (parallel.spatial.check_me_window)."""
+        del mask_type
         return self.impl
 
     def _embed_fn(self, mask_type: MaskType):

@@ -70,6 +70,23 @@ def stencil_reach(mask_type: str, p: int) -> int:
     return 2 * (p // 2) if mask_type == "me" else 1 + p // 2
 
 
+def tail_budget(mask_type: str, p: int) -> int:
+    """Strip-plane VMEM budget (f32 elements) for the fused tail kernels.
+
+    The p=3 SHARED_BUDGET is calibrated for the 8-tap ring; the
+    generalized-ME rings hold more live temporaries per strip row (each
+    tap's scaled shift, the deeper e_z/u rings), measured on the real
+    chip: at p=5/1080p the 320k budget compiled to a 22.1 MB scoped
+    allocation against the 16 MB limit (and p=7 at 130k to 18.0 MB), so
+    wider windows scale the budget down — the measured per-strip-element
+    footprint fits ~40 + 2*(p*p-1) bytes (each tap's scaled shift keeps a
+    vreg-tiled temporary live), and these constants keep the worst case
+    ~1.5 MB under the limit."""
+    if mask_type == "me" and p > 3:
+        return {5: 180_000, 7: 104_000, 9: 72_000}[p]
+    return SHARED_BUDGET
+
+
 def pipeline_geometry(rows: int, cols: int, mask_type: str,
                       p: int) -> tuple[int, int, int]:
     """(pad, strip, rows_padded) shared by every kernel of one pipeline.
@@ -81,10 +98,11 @@ def pipeline_geometry(rows: int, cols: int, mask_type: str,
     """
     from .common import pick_strip, raw_mode_ok
 
+    budget = tail_budget(mask_type, p)
     pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
-    strip, rows_padded = pick_strip_for_width(rows, cols, SHARED_BUDGET, pad)
+    strip, rows_padded = pick_strip_for_width(rows, cols, budget, pad)
     if not raw_mode_ok(rows, strip, rows_padded):
-        budget_strip = max(8, (SHARED_BUDGET // (cols + 2 * pad) - 2 * pad)
+        budget_strip = max(8, (budget // (cols + 2 * pad) - 2 * pad)
                            // 8 * 8)
         capped = max(8, rows // 2 // 8 * 8)
         strip2, rows_padded2 = pick_strip(rows, min(budget_strip, capped),
@@ -109,7 +127,7 @@ def max_supported_cols(mask_type: str = "me", p: int = 3) -> int:
     CL_DEVICE_IMAGE2D_MAX_WIDTH).
     """
     pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
-    return SHARED_BUDGET // (8 + 2 * pad) - 2 * pad
+    return tail_budget(mask_type, p) // (8 + 2 * pad) - 2 * pad
 
 
 def _error_region(ext, coeffs, base, span, width, p=3):

@@ -104,13 +104,20 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
 def _wide_me_fallback(image: jnp.ndarray, mask_type: str, p: int) -> bool:
     """impl='pallas' with the generalized ME window (p>3) runs the FUSED
     wide pipeline (wide lag-Gram kernel + wide-ring fused tails) whenever
-    the geometry supports the wide Gram. Images too small for the lag
-    windows fall back to the MIXED pipeline: XLA lag-decomposed Gram +
-    vectorized Cholesky + the wide-window Pallas predict kernel."""
+    the geometry supports it: the wide Gram's lag windows need a few
+    halo-widths of real image, and the tail kernels' p-scaled VMEM budget
+    bounds the width. Outside that envelope the pipelines run the pure-XLA
+    formulation — measured FASTER end to end than the r2-era mixed
+    pipeline (XLA gram + Pallas predict kernel; 1080p p=5: 526 vs 438
+    fps), which survives only as the predict routing inside
+    ``detect_many_pipeline``'s fallback."""
     if mask_type != "me" or p == 3:
         return False
+    from .pallas.fused import max_supported_cols
     from .pallas.me_gram_wide import wide_gram_supported
-    return not wide_gram_supported(image.shape[-2], image.shape[-1], p)
+    rows, cols = image.shape[-2:]
+    return (not wide_gram_supported(rows, cols, p)
+            or cols > max_supported_cols(mask_type, p))
 
 
 def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
@@ -262,6 +269,8 @@ def embed_pipeline(image: jnp.ndarray, output: jnp.ndarray,
         return _embed_pipeline_fused(image, output, watermark,
                                      strength_factor_value, mask_type, p,
                                      watermark_padded)
+    if impl == "pallas":   # wide-ME fallback: pure XLA measures fastest
+        impl = "xla"
     if mask_type == "me":
         coefficients, valid = _analysis(image, impl, p)
         error = _prediction_error(image, coefficients, impl, p)
@@ -310,6 +319,8 @@ def detect_pipeline(image: jnp.ndarray, watermark: jnp.ndarray,
             corr, valid = corr[0], valid[0]
         return jnp.where(valid, corr, 0.0)
 
+    if impl == "pallas":   # wide-ME fallback: pure XLA measures fastest
+        impl = "xla"
     # Predictor window: p for the ME mask's generalized predictor; the NVF
     # detector keeps the reference's fixed 3x3 predictor (p sizes only the
     # NVF variance window, Watermark.cpp:238-241).

@@ -80,6 +80,19 @@ class _BatchingService:
         self._dispatcher.start()
         self._collector.start()
 
+    def _mesh_impl(self, engine) -> str:
+        """Shard implementation for the mesh path: the engine's per-mask
+        impl, degraded to the XLA shard path for spatially-sharded
+        generalized ME (the fused wide Gram pads locally, which would be
+        wrong at interior seams — parallel.spatial.check_me_window rejects
+        that combo for explicit callers; the service degrades instead so a
+        pallas p>3 engine still serves over any mesh)."""
+        impl = engine._impl_for(self.mask_type)
+        if (self._space > 1 and impl == "pallas"
+                and self.mask_type == MaskType.ME and engine.p != 3):
+            return "xla"
+        return impl
+
     # -- override points ----------------------------------------------------
 
     def _run_batch(self, stack: np.ndarray):
@@ -211,9 +224,7 @@ class DetectorService(_BatchingService):
         super().__init__(engine, mask_type, batch_size, max_inflight,
                          flush_timeout, mesh, max_queued)
         if mesh is not None:
-            # per-mask impl: generalized ME (p>3) runs the XLA path even on
-            # a pallas engine (Watermark._impl_for)
-            impl = engine._impl_for(self.mask_type)
+            impl = self._mesh_impl(engine)
             if self._space > 1:
                 from .parallel import make_hybrid_detect
                 self._dp_fn = make_hybrid_detect(
@@ -251,8 +262,7 @@ class EmbedderService(_BatchingService):
         super().__init__(engine, mask_type, batch_size, max_inflight,
                          flush_timeout, mesh, max_queued)
         if mesh is not None:
-            # per-mask impl, as in DetectorService
-            impl = engine._impl_for(self.mask_type)
+            impl = self._mesh_impl(engine)
             if self._space > 1:
                 from .parallel import make_hybrid_embed
                 self._dp_fn = make_hybrid_embed(

@@ -123,8 +123,9 @@ def _check_video_dims(width: int, height: int, p: int = 3) -> None:
     enforces (cli/main.py; TPU analog of the reference's texture-size
     check), raised here so an oversized stream fails with a clear message
     instead of a raw VMEM compile error. The bound belongs to the fused
-    Pallas kernels, i.e. the video path's ME/p=3 configuration; at p>3
-    the generalized ME predictor runs on XLA with no VMEM strip bound."""
+    p=3 Pallas kernels (the video path's default configuration); at p>3
+    the pipelines route oversized geometries to the XLA formulation
+    themselves (pipelines._wide_me_fallback), so no guard is needed."""
     if p != 3:
         return
     from ..ops.pallas.fused import MAX_ROWS, max_supported_cols
