@@ -64,8 +64,13 @@ def measure_roundtrip(frames, watermark, mask_type, impl, iters=(6, 24),
     wm_p = (precompute_padded_watermark(watermark, mask_type, p)
             if impl == "pallas" else None)
 
-    @jax.jit
+    from watermarking_gpu_tpu.utils.layouts import pinned_jit
+
+    @pinned_jit
     def step(f, wm):
+        # pinned row-major boundary layouts, as the engines do — at the
+        # lane-misaligned 4K width XLA's auto boundary layout otherwise
+        # costs two full-frame relayout copies per step (utils/layouts.py)
         marked, _ = batch_embed(f, f, wm, sf, mask_type, p=p, impl=impl,
                                 watermark_padded=wm_p)
         return marked, batch_detect(marked, wm, mask_type, p=p, impl=impl,

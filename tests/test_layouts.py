@@ -1,0 +1,65 @@
+"""pinned_jit (utils/layouts.py): jit-equivalent semantics with row-major
+boundary layouts.
+
+The layout effect itself is TPU-only (XLA:CPU has no tiled layouts to
+flip), so these tests pin the wrapper's *semantics*: parity with jax.jit,
+None/kwarg handling, per-structure caching, and the _cache_size probe the
+serving warmup test relies on. The TPU effect is compile-verified in
+tools/profile_roundtrip.py's workflow (zero full-frame relayout copies at
+the reference's 3872-wide 4K sample; docs/PERFORMANCE.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from watermarking_gpu_tpu.utils.layouts import pinned_jit
+
+
+def test_matches_jit_with_kwargs_and_none(rng):
+    def f(a, b, extra=None, scale=None):
+        out = a @ b
+        if extra is not None:
+            out = out + extra
+        if scale is not None:
+            out = out * scale
+        return out, jnp.sum(out, axis=-1)
+
+    a = jnp.asarray(rng.normal(size=(5, 8, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(16, 24)).astype(np.float32))
+    extra = jnp.asarray(rng.normal(size=(24,)).astype(np.float32))
+
+    pinned = pinned_jit(f)
+    for kwargs in ({}, {"extra": extra}, {"extra": None},
+                   {"extra": extra, "scale": jnp.float32(2.0)}):
+        want = jax.jit(f)(a, b, **kwargs)
+        got = pinned(a, b, **kwargs)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-6)
+
+
+def test_one_entry_per_structure(rng):
+    def f(a, b=None):
+        return a * 2 if b is None else a + b
+
+    pinned = pinned_jit(f)
+    a2 = jnp.ones((4, 6), jnp.float32)
+    a3 = jnp.ones((2, 4, 6), jnp.float32)
+    pinned(a2)
+    pinned(a2 + 1)          # same structure: reuses the cached entry
+    assert pinned._cache_size() == 1
+    pinned(a3)              # new rank: new entry
+    pinned(a2, b=a2)        # new kwarg structure: new entry
+    assert pinned._cache_size() == 3
+
+
+def test_uint8_roundtrip(rng):
+    """u8 ingest arrays (the video path's transfer dtype) pin fine."""
+    def f(u):
+        return (u.astype(jnp.float32) * 2).astype(jnp.uint8)
+
+    u = jnp.asarray(rng.integers(0, 100, (3, 16, 32)).astype(np.uint8))
+    got = pinned_jit(f)(u)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(u) * 2)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pipelines import detect_pipeline, embed_pipeline
+from ..utils.layouts import pinned_jit
 from .masks import MaskType
 from .watermark import Watermark, as_device_input
 
@@ -90,9 +91,9 @@ class BatchedWatermark(Watermark):
         key = ("batch_embed", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(batch_embed, mask_type=mask_type.value,
-                                 p=self.p, impl=impl,
-                                 strength_factor_value=self.strength_factor))
+            fn = pinned_jit(partial(
+                batch_embed, mask_type=mask_type.value, p=self.p, impl=impl,
+                strength_factor_value=self.strength_factor))
             self._fn_cache[key] = fn
         return fn(images, outputs, self.random_matrix,
                   watermark_padded=self._padded_watermark(mask_type))
@@ -108,10 +109,9 @@ class BatchedWatermark(Watermark):
         key = ("batch_embed_u8", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(batch_embed_luma_u8,
-                                 mask_type=mask_type.value,
-                                 p=self.p, impl=impl,
-                                 strength_factor_value=self.strength_factor))
+            fn = pinned_jit(partial(
+                batch_embed_luma_u8, mask_type=mask_type.value, p=self.p,
+                impl=impl, strength_factor_value=self.strength_factor))
             self._fn_cache[key] = fn
         return fn(lumas, self.random_matrix,
                   watermark_padded=self._padded_watermark(mask_type))
@@ -124,8 +124,9 @@ class BatchedWatermark(Watermark):
         key = ("batch_detect", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(batch_detect, mask_type=mask_type.value,
-                                 p=self.p, impl=impl))
+            fn = pinned_jit(partial(batch_detect,
+                                    mask_type=mask_type.value,
+                                    p=self.p, impl=impl))
             self._fn_cache[key] = fn
         return fn(images, self.random_matrix,
                   watermark_padded=self._padded_watermark(mask_type))

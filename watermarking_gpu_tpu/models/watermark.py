@@ -26,6 +26,7 @@ from ..io.matfile import generate_watermark, load_watermark
 from ..ops.embed import strength_factor
 from ..ops.pipelines import (detect_many_pipeline, detect_pipeline,
                              embed_pipeline)
+from ..utils.layouts import pinned_jit
 from .masks import MaskType
 
 _VALID_P = (3, 5, 7, 9)
@@ -149,9 +150,12 @@ class Watermark:
         key = ("embed", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(embed_pipeline, mask_type=mask_type.value,
-                                 p=self.p, impl=impl),
-                         static_argnames=("strength_factor_value",))
+            # pinned_jit (not jax.jit): row-major boundary layouts, so
+            # lane-misaligned widths don't pay per-dispatch relayout
+            # copies (utils/layouts.py). Strength is a trace-time constant.
+            fn = pinned_jit(partial(
+                embed_pipeline, mask_type=mask_type.value, p=self.p,
+                impl=impl, strength_factor_value=self.strength_factor))
             self._fn_cache[key] = fn
         return fn
 
@@ -160,8 +164,9 @@ class Watermark:
         key = ("detect", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(detect_pipeline, mask_type=mask_type.value,
-                                 p=self.p, impl=impl))
+            fn = pinned_jit(partial(detect_pipeline,
+                                    mask_type=mask_type.value,
+                                    p=self.p, impl=impl))
             self._fn_cache[key] = fn
         return fn
 
@@ -195,7 +200,6 @@ class Watermark:
         output = image if output is None else as_device_input(output)
         return self._embed_fn(mask_type)(
             image, output, self.random_matrix,
-            strength_factor_value=self.strength_factor,
             watermark_padded=self._padded_watermark(mask_type))
 
     def detect(self, image, mask_type: "MaskType | str" = MaskType.ME):
@@ -244,9 +248,9 @@ class Watermark:
         key = ("detect_many", mask_type, impl)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(partial(detect_many_pipeline,
-                                 mask_type=mask_type.value, p=self.p,
-                                 impl=impl))
+            fn = pinned_jit(partial(detect_many_pipeline,
+                                    mask_type=mask_type.value, p=self.p,
+                                    impl=impl))
             self._fn_cache[key] = fn
         image = as_device_input(image)
         batch = image.shape[0] if image.ndim == 3 else 1

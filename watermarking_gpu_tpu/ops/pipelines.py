@@ -130,6 +130,7 @@ def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
     and pass the result as ``watermark_padded`` — at 4K with small batches
     the in-jit re-pad otherwise costs ~6% of the round trip.
     """
+    from ..utils.layouts import pinned_jit
     from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
     from .pallas.fused import pipeline_geometry
 
@@ -137,8 +138,12 @@ def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
     _, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
     if not raw_mode_ok(rows, strip, rows_padded):
         return None
-    return jax.jit(pad_image, static_argnums=(1, 2))(
-        jnp.asarray(watermark, jnp.float32), RAW_PAD, rows_padded)
+    # pinned row-major output: at lane-misaligned widths XLA would pick the
+    # transposed layout for this jit's result, and every consumer step
+    # would then relayout-copy the padded watermark per dispatch (measured
+    # 66 us/frame at 4K-3872; see utils/layouts.py)
+    return pinned_jit(lambda wm: pad_image(wm, RAW_PAD, rows_padded))(
+        jnp.asarray(watermark, jnp.float32))
 
 
 def _fused_analysis(img3, pred_p: int):
