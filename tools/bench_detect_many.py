@@ -79,14 +79,14 @@ def main():
     for name, make in variants.items():
         if args.only and args.only not in name:
             continue
-        sec = measure(make, (img, bank), k_small=2, k_large=8, reps=4)
+        sec = measure(make, (img, bank), k_small=4, k_large=16, reps=6)
         results[name] = sec
         print(f"{name:8s} {sec * 1e3:9.3f} ms/dispatch  "
               f"{sec * 1e6 / n:8.2f} us/candidate", flush=True)
     if not args.skip_loop and not args.only:
         # the looped baseline compiles n inlined detects — one (k_small,
         # k_large) pair is plenty (and keeps compile-helper load sane)
-        sec = measure(make_loop, (img, bank), k_small=1, k_large=2, reps=3)
+        sec = measure(make_loop, (img, bank), k_small=1, k_large=2, reps=5)
         results["loop"] = sec
         print(f"{'loop':8s} {sec * 1e3:9.3f} ms/dispatch  "
               f"{sec * 1e6 / n:8.2f} us/candidate", flush=True)

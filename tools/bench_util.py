@@ -24,7 +24,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def measure(make_fn, args, k_small=4, k_large=16, reps=3):
-    """Best-of-`reps` two-count slope of `make_fn(k)` in seconds per call."""
+    """Two-count slope of `make_fn(k)` in seconds per call.
+
+    Slope of PER-COUNT MINIMA, not min-of-slopes: tunnel stalls only ever
+    ADD time, so the min over reps is the cleanest estimate of each
+    window, and sloping the minima cannot be biased by a stall that lands
+    in one small window (min-of-slopes fakes a too-good — or negative —
+    slope exactly that way; see CLAUDE.md)."""
     fns = {}
     for k in (k_small, k_large):
         fns[k] = jax.jit(make_fn(k))
@@ -36,8 +42,10 @@ def measure(make_fn, args, k_small=4, k_large=16, reps=3):
         np.asarray(jax.tree.leaves(out)[-1])
         return time.perf_counter() - t0
 
-    return min((window(k_large) - window(k_small)) / (k_large - k_small)
-               for _ in range(reps))
+    window(k_small)  # stabilize
+    t_small = min(window(k_small) for _ in range(reps))
+    t_large = min(window(k_large) for _ in range(reps))
+    return (t_large - t_small) / (k_large - k_small)
 
 
 def gram_partials_only(img_p, rows, cols, pad, strip, rows_padded):
