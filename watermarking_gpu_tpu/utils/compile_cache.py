@@ -21,12 +21,21 @@ import tempfile
 
 def default_cache_dir() -> str:
     """Per-user default cache path (a world-shared /tmp path would let one
-    user's cache poison or permission-block another's)."""
+    user's cache poison or permission-block another's).
+
+    The ``v2`` suffix namespaces away executables compiled before the
+    engines pinned row-major boundary layouts (utils/layouts.py): jax's
+    persistent-cache key does not capture jit layout Formats, so a
+    pre-pinning executable (compiled with auto boundary layouts) loads
+    for a pinned jit and then fails dispatch with "Layout passed to jit
+    does not match the layout on the respective arg". Bump the suffix on
+    any future change that alters boundary layouts without changing HLO.
+    """
     try:
         user = getpass.getuser()
     except Exception:
         user = str(os.getuid()) if hasattr(os, "getuid") else "user"
-    return os.path.join(tempfile.gettempdir(), f"wm_jax_cache_{user}")
+    return os.path.join(tempfile.gettempdir(), f"wm_jax_cache_v2_{user}")
 
 
 def enable_compilation_cache(path: "str | os.PathLike",

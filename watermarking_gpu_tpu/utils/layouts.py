@@ -76,12 +76,25 @@ def pinned_jit(fun):
             out_s = jax.tree.map(
                 lambda s: fmt(s.ndim, sharding) if s.ndim >= 2 else None,
                 out_shape)
-            entry = cache[key] = jax.jit(shim, in_shardings=in_s,
-                                         out_shardings=out_s)
-        return entry(*args, *kwvals)
+            entry = cache[key] = (jax.jit(shim, in_shardings=in_s,
+                                          out_shardings=out_s), in_s)
+        jitted, in_s = entry
+        try:
+            return jitted(*args, *kwvals)
+        except ValueError as e:
+            if "Layout passed to jit" not in str(e):
+                raise
+            # an argument arrived with a non-default layout (e.g. produced
+            # by an auto-layout jit elsewhere); relayout it once instead of
+            # failing — the pin exists precisely to stop such layouts from
+            # propagating
+            healed = tuple(
+                a if a is None or f is None else jax.device_put(a, f)
+                for a, f in zip(args + kwvals, in_s))
+        return jitted(*healed)
 
     # jit-API compatibility shim: warmup checks use _cache_size to assert
     # pre-compilation happened (tests/test_serving.py)
-    wrapped._cache_size = lambda: sum(e._cache_size()
-                                      for e in cache.values())
+    wrapped._cache_size = lambda: sum(jitted._cache_size()
+                                      for jitted, _ in cache.values())
     return wrapped
