@@ -101,6 +101,30 @@ def test_embed_then_detect_video(clip):
     assert all(abs(c) < 0.2 for _, c in clean_results)
 
 
+def test_video_generalized_me_p5(clip):
+    """The video path at p=5 with a pallas engine: the generalized ME
+    predictor runs the fused wide pipeline per batch (the reference
+    rejects ME p>3 outright, main.cpp:88-89), the round trip through the
+    raw-yuv sink detects on sampled frames, and the clean clip stays
+    near zero."""
+    from watermarking_gpu_tpu.models.batched import BatchedWatermark
+
+    root, clip_path, wm_path = clip
+    out_path = str(root / "marked_p5.yuv")
+    engine = BatchedWatermark(H, W, wm_path, p=5, psnr=30.0, impl="pallas")
+    settings = make_settings(root, clip_path, wm_path, p=5,
+                             encode_watermark_file_path=out_path)
+    frames = embed_video(settings, out=io.StringIO(), engine=engine)
+    assert frames == N_FRAMES
+    det = make_settings(root, out_path, wm_path, p=5, detect_batch=2)
+    n, results = detect_video(det, out=io.StringIO(), engine=engine)
+    assert n == N_FRAMES
+    assert all(c > 0.25 for _, c in results)
+    det_clean = make_settings(root, clip_path, wm_path, p=5)
+    _, clean = detect_video(det_clean, out=io.StringIO(), engine=engine)
+    assert all(abs(c) < 0.2 for _, c in clean)
+
+
 def test_embed_interval_one_batched(clip, tmp_path):
     """interval=1 (the reference's real embed workload) batches sampled
     frames into one compiled dispatch shape — including the padded

@@ -138,12 +138,13 @@ def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
     _, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
     if not raw_mode_ok(rows, strip, rows_padded):
         return None
-    # pinned row-major output: at lane-misaligned widths XLA would pick the
-    # transposed layout for this jit's result, and every consumer step
-    # would then relayout-copy the padded watermark per dispatch (measured
-    # 66 us/frame at 4K-3872; see utils/layouts.py)
-    return pinned_jit(lambda wm: pad_image(wm, RAW_PAD, rows_padded))(
-        jnp.asarray(watermark, jnp.float32))
+    # force-pinned row-major output: the padded watermark's width is never
+    # 128-lane aligned (cols + 2*RAW_PAD), so XLA's auto choice would tag
+    # it transposed and every consumer step would relayout-copy it per
+    # dispatch (measured 66 us/frame at 4K-3872); force_pin makes the tag
+    # deterministic for both pinned and plain consumers (utils/layouts.py)
+    return pinned_jit(lambda wm: pad_image(wm, RAW_PAD, rows_padded),
+                      force_pin=True)(jnp.asarray(watermark, jnp.float32))
 
 
 def _fused_analysis(img3, pred_p: int):

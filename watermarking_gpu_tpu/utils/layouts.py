@@ -9,22 +9,42 @@ assignment flips the jit boundary to the transposed layout — ignoring that
 the Pallas custom calls constrain their operands to row-major. The result is
 two full-frame relayout copies per round trip (measured +103 us/frame at 4K,
 the whole ~8% penalty of ``embed_detect_4k_nd_*`` vs the aligned 4K case;
-``tools/profile_roundtrip.py`` shows them as ``copy.*`` ops feeding the
-entry/root). ``optimization_barrier`` does not stop the propagation (same
-class as the single-row-slice trap, see ``me_kernel._block_row``).
+``tools/profile_roundtrip.py --diff`` shows them as ``copy.*`` ops feeding
+the entry/root). ``optimization_barrier`` does not stop the propagation
+(same class as the single-row-slice trap, see ``me_kernel._block_row``).
 
-``pinned_jit`` is ``jax.jit`` with the boundary layouts pinned to row-major
-via ``jax.experimental.layout.Format`` — compile-verified to produce zero
-relayout copies at 3872 width. It commits arguments to the current default
-device (engines are single-device by contract; the mesh paths in
-``parallel/`` build their own sharded programs and do not use this).
+``pinned_jit`` is ``jax.jit`` that pins row-major ``Format``s on every
+array argument/result — but ONLY when the call's dominant tensors are
+*flip-prone* (transposed layout pads less than row-major). Two reasons to
+scope it:
+
+* Aligned geometries never flip, so plain jit there keeps byte-identical
+  pre-pinning behavior and full persistent-cache participation.
+* On this stack (jax 0.9.0 + the remote AOT compile helper), executables
+  reloaded from the persistent cache LOSE their output layout metadata:
+  a cache-hit pinned program returns arrays whose layout *tag* is the
+  auto-preferred (transposed) layout while the data is row-major —
+  verified by value — and any consumer that trusts the tag then fails
+  with ``INVALID_ARGUMENT`` at dispatch or transfer. Pinned compiles
+  therefore run with the persistent cache disabled (in-process compiles
+  only, never reloaded), trading cold-start time at misaligned
+  geometries for correctness.
+
+Pinned entries commit arguments to the current default device (engines are
+single-device by contract; the mesh paths in ``parallel/`` build their own
+sharded programs and do not use this).
 """
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 
 __all__ = ["pinned_jit"]
+
+_compile_lock = threading.Lock()
 
 
 def _pin_device():
@@ -34,16 +54,64 @@ def _pin_device():
     return jax.devices()[0]
 
 
-def _ndim(x):
-    return getattr(x, "ndim", None) if x is not None else None
+def _spec(x):
+    if x is None or not hasattr(x, "ndim"):
+        return None
+    return (tuple(x.shape), str(getattr(x, "dtype", "?")))
 
 
-def pinned_jit(fun):
-    """jax.jit(fun) with row-major layouts pinned for array args/results.
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
 
-    Arguments may be arrays or None (None args/kwargs pass through as empty
-    pytrees). One compiled entry is cached per (arg ranks, kwarg names,
-    device) structure — the same granularity jit would retrace at anyway.
+
+def _flip_prone(shape) -> bool:
+    """True when XLA's padded-size cost model prefers the transposed
+    layout for the two minor dims: row-major pads the last dim to the
+    128-lane tile and the second-to-last to the 8-sublane tile; the
+    transposed layout swaps the roles."""
+    if len(shape) < 2:
+        return False
+    rows, cols = shape[-2], shape[-1]
+    default = _round_up(rows, 8) * _round_up(cols, 128)
+    transposed = _round_up(rows, 128) * _round_up(cols, 8)
+    return default > transposed
+
+
+def _nbytes(spec) -> int:
+    import numpy as np
+    n = 1
+    for d in spec[0]:
+        n *= d
+    try:
+        return n * np.dtype(spec[1]).itemsize
+    except TypeError:
+        return n * 4
+
+
+@contextlib.contextmanager
+def _no_persistent_cache():
+    prev = getattr(jax.config, "jax_enable_compilation_cache", None)
+    if prev is None:
+        yield
+        return
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev)
+
+
+def pinned_jit(fun, force_pin: bool = False):
+    """jax.jit(fun) with row-major layouts pinned for array args/results
+    at flip-prone geometries (plain jax.jit otherwise — see module doc).
+
+    ``force_pin=True`` pins unconditionally — for cheap producers whose
+    retained outputs feed pinned consumers (the padded watermark), so the
+    output tag is deterministic rather than predicate-dependent.
+
+    Arguments may be arrays or None (None args/kwargs pass through as
+    empty pytrees). One entry is cached per (arg shapes/dtypes, kwarg
+    names, device) — the granularity jit retraces at anyway.
     """
     from jax.experimental.layout import Format, Layout
     from jax.sharding import SingleDeviceSharding
@@ -58,43 +126,73 @@ def pinned_jit(fun):
     def wrapped(*args, **kwargs):
         kw_names = tuple(sorted(kwargs))
         kwvals = tuple(kwargs[k] for k in kw_names)
+        flat = args + kwvals
         dev = _pin_device()
-        key = (tuple(_ndim(a) for a in args), kw_names,
-               tuple(_ndim(v) for v in kwvals), dev)
+        key = (tuple(_spec(a) for a in flat), len(args), kw_names, dev)
         entry = cache.get(key)
         if entry is None:
             n_pos = len(args)
-            sharding = SingleDeviceSharding(dev)
 
-            def shim(*flat):
-                pos, kws = flat[:n_pos], flat[n_pos:]
+            def shim(*leaves):
+                pos, kws = leaves[:n_pos], leaves[n_pos:]
                 return fun(*pos, **dict(zip(kw_names, kws)))
 
-            flat = args + kwvals
-            in_s = tuple(fmt(_ndim(a), sharding) for a in flat)
             out_shape = jax.eval_shape(shim, *flat)
-            out_s = jax.tree.map(
-                lambda s: fmt(s.ndim, sharding) if s.ndim >= 2 else None,
-                out_shape)
-            entry = cache[key] = (jax.jit(shim, in_shardings=in_s,
-                                          out_shardings=out_s), in_s)
-        jitted, in_s = entry
+            specs = ([s for s in (_spec(a) for a in flat) if s]
+                     + [(tuple(leaf.shape), str(leaf.dtype))
+                        for leaf in jax.tree.leaves(out_shape)
+                        if leaf.ndim >= 2])
+            total = sum(_nbytes(s) for s in specs)
+            prone = sum(_nbytes(s) for s in specs if _flip_prone(s[0]))
+            # pin only when flip-prone tensors dominate the call: at
+            # aligned frame geometries a prone *watermark pad* alone (a
+            # few % of the bytes, ~1% of the step in relayout tax) is not
+            # worth giving up the persistent cache for
+            pin = force_pin or (total > 0 and prone * 2 >= total)
+            if not pin:
+                entry = cache[key] = (jax.jit(shim), None)
+            else:
+                sharding = SingleDeviceSharding(dev)
+                in_s = tuple(fmt(None if s is None else len(s[0]), sharding)
+                             for s in (_spec(a) for a in flat))
+                out_s = jax.tree.map(
+                    lambda s: fmt(s.ndim, sharding) if s.ndim >= 2 else None,
+                    out_shape)
+                jitted = jax.jit(shim, in_shardings=in_s,
+                                 out_shardings=out_s)
+                # compile now, outside the persistent cache: reloaded
+                # pinned executables come back with mangled output layout
+                # tags (module doc), so these programs must never be
+                # written to or read from it. The lock keeps the global
+                # config toggle coherent across serving threads.
+                with _compile_lock, _no_persistent_cache():
+                    entry = cache[key] = (jitted.lower(*flat).compile(),
+                                          in_s)
+        call, in_s = entry
+        if in_s is None:
+            return call(*flat)
         try:
-            return jitted(*args, *kwvals)
+            return call(*flat)
         except ValueError as e:
-            if "Layout passed to jit" not in str(e):
+            if "layout" not in str(e).lower():
                 raise
-            # an argument arrived with a non-default layout (e.g. produced
-            # by an auto-layout jit elsewhere); relayout it once instead of
-            # failing — the pin exists precisely to stop such layouts from
-            # propagating
-            healed = tuple(
-                a if a is None or f is None else jax.device_put(a, f)
-                for a, f in zip(args + kwvals, in_s))
-        return jitted(*healed)
+            # an argument arrived with a non-row-major tag (produced by an
+            # auto-layout jit elsewhere): relayout it once and retry.
+            # In-process tags are trustworthy — pinned programs never
+            # round-trip the persistent cache (module doc) — so
+            # device_put's tag-driven relayout is safe here.
+            healed = tuple(a if a is None or f is None
+                           else jax.device_put(a, f)
+                           for a, f in zip(flat, in_s))
+        return call(*healed)
 
     # jit-API compatibility shim: warmup checks use _cache_size to assert
     # pre-compilation happened (tests/test_serving.py)
-    wrapped._cache_size = lambda: sum(jitted._cache_size()
-                                      for jitted, _ in cache.values())
+    def _cache_size():
+        total = 0
+        for call, _ in cache.values():
+            total += (call._cache_size() if hasattr(call, "_cache_size")
+                      else 1)
+        return total
+    wrapped._cache_size = _cache_size
     return wrapped
