@@ -303,35 +303,56 @@ def solve_coefficients_spd_vec(rx_matrix: jnp.ndarray,
     does n stages of whole-column tensor ops instead — each stage one
     (B, n, n) x (B, n) matvec plus elementwise updates, with a row mask in
     place of triangular indexing — so op count scales with n, not n^3.
+
+    The stages run inside ``lax.fori_loop``s (one-hot column/element
+    updates in place of ``.at[...].set`` with a traced index): unrolled,
+    the n=80 trace alone cost ~21 s of XLA compile — over half the p=9
+    pipeline's cold compile; looped it is O(1) ops and the runtime is
+    measured on par (the stages are sequentially dependent either way).
     Singularity surfaces as NaN/Inf exactly like the other solvers.
     """
     n = rx_matrix.shape[-1]
     rows = jnp.arange(n)
-    lower = jnp.zeros_like(rx_matrix)
-    for j in range(n):
+
+    def matvec(m, v):
+        return jnp.einsum("...ik,...k->...i", m, v, precision=_HIGHEST,
+                          preferred_element_type=jnp.float32)
+
+    def take(v, i):
+        # v[..., i] with a traced i, as a one-hot reduction (a dynamic
+        # slice would be fine too; the reduction keeps layouts unexciting)
+        return jnp.sum(v * (rows == i), axis=-1)
+
+    def chol_stage(j, lower):
         # col_j = A[:, j] - L @ L[j, :] — columns >= j of L are still zero,
         # so the matvec only picks up the computed entries.
-        row_j = lower[..., j, :]
-        col = rx_matrix[..., :, j] - jnp.einsum(
-            "...ik,...k->...i", lower, row_j,
-            precision=_HIGHEST, preferred_element_type=jnp.float32)
-        col = col / jnp.sqrt(col[..., j])[..., None]
-        lower = lower.at[..., :, j].set(jnp.where(rows >= j, col, 0.0))
-    # forward substitution L y = rx
-    y = jnp.zeros_like(rx_vector)
-    for i in range(n):
-        acc = jnp.einsum("...k,...k->...", lower[..., i, :], y,
-                         precision=_HIGHEST,
-                         preferred_element_type=jnp.float32)
-        y = y.at[..., i].set(
-            (rx_vector[..., i] - acc) / lower[..., i, i])
-    # back substitution L^T x = y
-    x = jnp.zeros_like(rx_vector)
-    for i in reversed(range(n)):
-        acc = jnp.einsum("...k,...k->...", lower[..., :, i], x,
-                         precision=_HIGHEST,
-                         preferred_element_type=jnp.float32)
-        x = x.at[..., i].set((y[..., i] - acc) / lower[..., i, i])
+        onehot_j = (rows == j).astype(rx_matrix.dtype)
+        row_j = matvec(jnp.swapaxes(lower, -1, -2), onehot_j)
+        col = matvec(rx_matrix, onehot_j) - matvec(lower, row_j)
+        col = col / jnp.sqrt(take(col, j))[..., None]
+        col = jnp.where(rows >= j, col, 0.0)
+        return lower + col[..., :, None] * (rows == j)
+
+    lower = jax.lax.fori_loop(0, n, chol_stage,
+                              jnp.zeros_like(rx_matrix))
+
+    def fwd_stage(i, y):
+        row_i = matvec(jnp.swapaxes(lower, -1, -2),
+                       (rows == i).astype(rx_matrix.dtype))
+        acc = jnp.sum(row_i * y, axis=-1)
+        yi = (take(rx_vector, i) - acc) / take(row_i, i)
+        return y + yi[..., None] * (rows == i)
+
+    y = jax.lax.fori_loop(0, n, fwd_stage, jnp.zeros_like(rx_vector))
+
+    def bwd_stage(step, x):
+        i = n - 1 - step
+        col_i = matvec(lower, (rows == i).astype(rx_matrix.dtype))
+        acc = jnp.sum(col_i * x, axis=-1)
+        xi = (take(y, i) - acc) / take(col_i, i)
+        return x + xi[..., None] * (rows == i)
+
+    x = jax.lax.fori_loop(0, n, bwd_stage, jnp.zeros_like(rx_vector))
     valid = jnp.all(jnp.isfinite(x), axis=-1)
     return jnp.where(valid[..., None], x, jnp.zeros_like(x)), valid
 
