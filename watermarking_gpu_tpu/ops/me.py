@@ -197,23 +197,43 @@ def _gram_lags_vectorized(padded: jnp.ndarray, batch_shape, rows: int,
     global pair sums across the halo exchange, while this assembly's
     boundary corrections assume rows 0/H are the true image edges.
     """
-    from .pallas.me_gram_wide import (_assemble_wide, _plan,
-                                      wide_padded_row_provider)
+    from .pallas.me_gram_wide import _assemble_wide, wide_padded_row_provider
 
     h = p // 2
-    lags = _plan(p)[0]
     flat = padded.reshape((-1,) + padded.shape[-2:])
-    parts = [
-        jnp.sum(flat[:, 3 * h: 3 * h + rows, 2 * h: 2 * h + cols + 2 * h]
-                * flat[:, 3 * h + dr: 3 * h + dr + rows,
-                       2 * h + dc: 2 * h + dc + cols + 2 * h], axis=-2)
-        for dr, dc in lags]
-    partials = jnp.stack(parts, axis=1)                # (B, L, W+2h)
+    partials = lag_partials(flat, rows, cols, p, row0=3 * h, col0=2 * h)
     row_of = wide_padded_row_provider(flat, 3 * h, cols, h)
     gram = _assemble_wide(partials, row_of, rows, cols, p)
     k = p * p - 1
     return (gram[:, :k, :k].reshape(batch_shape + (k, k)),
             gram[:, :k, k].reshape(batch_shape + (k,)))
+
+
+def lag_partials(ext: jnp.ndarray, rows: int, cols: int, p: int,
+                 row0: int, col0: int) -> jnp.ndarray:
+    """(B, L, W+2h) per-lag lane partials over ``rows`` rows of a
+    halo-extended image.
+
+    ``V_d[v] = Σ_y P[y, v−h]·P[y+dr, v−h+dc]`` for each canonical lag
+    d = (dr, dc), dr ∈ [0, 2h], dc ∈ [−2h, 2h]; lane v covers image
+    columns [−h, W+h). ``ext`` holds image row 0 at ``row0`` (needs 2h
+    more rows below row0+rows for the lag reach) and column −h at
+    ``col0`` (needs 2h columns both sides). These are exactly the
+    partials the wide Pallas Gram kernel exports, so
+    ``me_gram_wide._assemble_wide`` consumes them; the spatial mesh path
+    builds them per shard and psums (the sum over global rows decomposes
+    across shards once each shard sees a 2h true bottom halo).
+    """
+    from .pallas.me_gram_wide import _plan
+
+    h = p // 2
+    lags = _plan(p)[0]
+    parts = [
+        jnp.sum(ext[:, row0: row0 + rows, col0: col0 + cols + 2 * h]
+                * ext[:, row0 + dr: row0 + dr + rows,
+                      col0 + dc: col0 + dc + cols + 2 * h], axis=-2)
+        for dr, dc in lags]
+    return jnp.stack(parts, axis=1)
 
 
 def me_normal_equations(image: jnp.ndarray,

@@ -134,19 +134,87 @@ def _gram_psum(img_p3: jnp.ndarray, rows: int, cols: int, pad: int,
     return solve_coefficients_spd(gram[:, :8, :8], gram[:, :8, 8])
 
 
+def _gram_wide_sharded(img: jnp.ndarray, p: int):
+    """Global wide-window Rx/rx via per-shard lag partials + psum and the
+    vectorized assembly (returns the REPLICATED global Gram terms).
+
+    The single-chip formulation (``ops/me.py::_gram_lags_vectorized``)
+    decomposes cleanly across row shards: each lag's lane-partial vector
+    is a sum over image rows, so per-shard partials over local rows (with
+    a 2h-row true bottom halo for the lag reach) psum to the global ones,
+    and the boundary-row corrections are global-edge-only — built from
+    the first/last shard's rows and psum-broadcast (a few 4h-row strips).
+    Unlike the per-pair boundary-strip formulation this keeps the mesh
+    path's op count O(lags) — at p=9 the pair-window assembly was ~13k
+    sibling ops per shard and minutes of XLA compile.
+    """
+    from ..ops.me import lag_partials
+    from ..ops.pallas.me_gram_wide import _assemble_wide
+
+    h = p // 2
+    lead = img.shape[:-2]
+    h_local, cols = img.shape[-2:]
+    n = lax.axis_size(SPACE_AXIS)
+    idx = lax.axis_index(SPACE_AXIS)
+    rows = n * h_local
+
+    ext = exchange_row_halo(img, 2 * h)
+    widths = [(0, 0)] * (ext.ndim - 2) + [(0, 0), (3 * h, 3 * h)]
+    ext = jnp.pad(ext, widths, mode="edge")
+    flat = ext.reshape((-1,) + ext.shape[-2:])
+    partials = lag_partials(flat, h_local, cols, p, row0=2 * h,
+                            col0=2 * h)
+    partials = lax.psum(partials, SPACE_AXIS)
+
+    # boundary banks: global rows [-h, 3h) and [rows-h, rows+3h), clamped;
+    # contiguous block slices of the edge shards, psum-broadcast to all
+    imgf = img.reshape((-1, h_local, cols))
+    img_c = jnp.pad(imgf, [(0, 0), (0, 0), (3 * h, 3 * h)], mode="edge")
+    low = jnp.concatenate(
+        [jnp.repeat(img_c[:, :1], h, axis=1), img_c[:, :3 * h]], axis=1)
+    high = jnp.concatenate(
+        [img_c[:, h_local - h:],
+         jnp.repeat(img_c[:, -1:], 3 * h, axis=1)], axis=1)
+    low = lax.psum(jnp.where(idx == 0, low, jnp.zeros_like(low)),
+                   SPACE_AXIS)
+    high = lax.psum(jnp.where(idx == n - 1, high, jnp.zeros_like(high)),
+                    SPACE_AXIS)
+
+    def row_of(j: int) -> jnp.ndarray:
+        if j < 3 * h:                       # low bank rows [-h, 3h)
+            return low[:, j + h]
+        return high[:, j - (rows - h)]      # high bank rows [rows-h, ...)
+
+    gram = _assemble_wide(partials, row_of, rows, cols, p)
+    k = p * p - 1
+    return (gram[:, :k, :k].reshape(lead + (k, k)),
+            gram[:, :k, k].reshape(lead + (k,)))
+
+
 def _analysis_local(img: jnp.ndarray, p: int = 3):
     """Global Rx/rx from per-shard partials + psum, then a replicated solve.
 
     XLA-oracle path only — the pallas shard functions run _gram_psum with
-    the pipeline-shared geometry instead. ``p`` is the predictor window
-    (generalized ME exchanges a p//2-row halo; the psum'd Gram equals the
-    unsharded one because each shard's neighbor stack is the unsharded
-    stack restricted to its rows).
+    the pipeline-shared geometry instead. ``p`` is the predictor window.
+    Generalized windows (p>3) run the sharded vectorized lag assembly
+    (``_gram_wide_sharded``) when the shard geometry allows; the fallback
+    (and p=3) exchanges a p//2-row halo and psums per-shard pair-window
+    Gram terms (each shard's neighbor stack is the unsharded stack
+    restricted to its rows).
     """
-    rx_matrix, rx_vector = gram_terms_from_padded(_extend(img, p // 2),
-                                                  img, p)
-    rx_matrix = lax.psum(rx_matrix, SPACE_AXIS)
-    rx_vector = lax.psum(rx_vector, SPACE_AXIS)
+    h = p // 2
+    rows_global = lax.axis_size(SPACE_AXIS) * img.shape[-2]
+    # shard gate: 3h local rows for the 2h halo exchange + the edge
+    # shards' boundary banks; 6h global rows/cols for the lag windows
+    # (the single-chip vectorized gate, gram_terms_from_padded)
+    if (p != 3 and img.shape[-2] >= 3 * h and rows_global >= 6 * h
+            and img.shape[-1] >= 6 * h):
+        rx_matrix, rx_vector = _gram_wide_sharded(img, p)
+    else:
+        rx_matrix, rx_vector = gram_terms_from_padded(_extend(img, h),
+                                                      img, p)
+        rx_matrix = lax.psum(rx_matrix, SPACE_AXIS)
+        rx_vector = lax.psum(rx_vector, SPACE_AXIS)
     # p=3 keeps the LU oracle path; wider SPD systems use the vectorized
     # Cholesky (both LU and the scalar-unrolled Cholesky are
     # dispatch-bound at n>=24 — see pipelines._analysis)
