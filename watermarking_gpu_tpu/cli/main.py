@@ -70,7 +70,8 @@ def test_for_image(settings: Settings) -> int:
     if settings.p != 3:
         # capability beyond the reference, which rejects ME at p != 3
         # (main.cpp:88-89 "TODO for p>3 we have problems with ME masking
-        # buffers"); the generalized predictor runs on the XLA path
+        # buffers"); on TPU the generalized window runs the fused wide
+        # Pallas pipeline (Watermark._impl_for)
         print(f"NOTE: ME at p = {settings.p} uses the generalized "
               f"{settings.p * settings.p - 1}-tap predictor "
               f"(reference supports p = 3 only)\n")

@@ -65,9 +65,12 @@ class Watermark:
     p          : mask window size (3, 5, 7 or 9). The reference rejects
                  p != 3 for the prediction-error mask (``main.cpp:88-89``,
                  "TODO for p>3 we have problems with ME masking buffers");
-                 here ME generalizes to the (p*p-1)-tap predictor, running
-                 on the XLA path (the fused Pallas kernels implement p=3 —
-                 see ``_impl_for``). NVF runs fused kernels at every p.
+                 here ME generalizes to the (p*p-1)-tap predictor. On a
+                 pallas engine the generalized window runs the FUSED wide
+                 pipeline (wide lag-Gram kernel + p-scaled fused tails;
+                 pure XLA outside its geometry envelope — see
+                 ``pipelines._wide_me_fallback``). NVF runs the fused
+                 kernels at every p.
     psnr       : target embedding PSNR in dB (> 0).
     impl       : 'xla', 'pallas', or None for backend-based auto selection.
     """
@@ -106,8 +109,7 @@ class Watermark:
         The fused raw-mode kernels read a padded watermark; it is
         call-invariant, so the engine pays the pad copy once instead of on
         every embed/detect dispatch. None when the fused raw path does not
-        apply (XLA impl, the generalized-ME mixed pipeline, or geometry
-        outside raw_mode_ok).
+        apply (XLA impl, or geometry outside raw_mode_ok).
         """
         if self._impl_for(mask_type) != "pallas":
             return None

@@ -26,8 +26,10 @@ Predictor window: the reference hard-codes p=3 (8 taps) and rejects anything
 else ("TODO for p>3 we have problems with ME masking buffers",
 ``main.cpp:88-89``). Here every function takes ``p`` and generalizes to the
 (p*p-1)-tap predictor — the MXU contraction and the batched solve are
-shape-polymorphic, so p in {5, 7, 9} costs nothing structurally. The fused
-Pallas kernels implement p=3; engines route ME at p>3 through this XLA path.
+shape-polymorphic, so p in {5, 7, 9} costs nothing structurally. This XLA
+path is the correctness oracle at every p, the mesh-shard formulation, and
+the fallback outside the fused wide pipeline's envelope (engines route ME
+p>3 to the wide Pallas lag-Gram kernel, ops/pallas/me_gram_wide.py).
 
 All functions are batch-polymorphic over leading dims: images (..., H, W),
 coefficients (..., k), Rx (..., k, k), rx (..., k) with k = p*p-1.

@@ -44,10 +44,11 @@ def _to_f32(x: jnp.ndarray) -> jnp.ndarray:
 def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
     """Rx/rx accumulation + solve. Returns (coefficients, valid).
 
-    The XLA oracle and the generalized-ME mixed pipeline reach this; the
-    p=3 fused pallas pipelines run the fused gram + SPD solve inline
-    (they share the padded image). ``p`` is the predictor window (3 in
-    the reference; wider windows use the lag-decomposed gram).
+    The XLA oracle and ``detect_many_pipeline`` reach this; the fused
+    pallas embed/detect pipelines run their gram + SPD solve inline
+    (they share the padded image / the wide kernel's geometry). ``p`` is
+    the predictor window (3 in the reference; wider windows use the
+    lag-decomposed gram).
 
     impl='pallas' at p>3 runs the wide-window Pallas lag-Gram kernel
     (one pass over the image for all ((4h+1)^2+1)/2 canonical lags) when
@@ -82,11 +83,11 @@ def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
 
 def _prediction_error(image: jnp.ndarray, coefficients: jnp.ndarray,
                       impl: ImplName, p: int) -> jnp.ndarray:
-    """Predictor routing for the non-fused branches (the generalized-ME
-    mixed pipeline and ``detect_many_pipeline``, which reaches this at
-    every p including 3): impl='pallas' runs the (p*p-1)-tap strip kernel;
-    the XLA oracle stays pure jnp. The p=3 fused embed/detect pipelines
-    never reach this — they return earlier with everything fused."""
+    """Predictor routing for the non-fused branches (the wide-ME
+    fallback and ``detect_many_pipeline``, which reaches this at every p
+    including 3): impl='pallas' runs the (p*p-1)-tap strip kernel; the
+    XLA oracle stays pure jnp. The fused embed/detect pipelines never
+    reach this — they return earlier with everything fused."""
     if impl == "pallas":
         from .pallas.predict_kernel import prediction_error_pallas
         return prediction_error_pallas(image, coefficients, p=p)
