@@ -120,6 +120,52 @@ def _slope(run, iters=(4, 12), reps=4):
     return slope if slope > 0 else float("nan")
 
 
+def detect_many_benchmark(rows=512, cols=512, n=64, iters=(4, 16), reps=6):
+    """Watermark identification: one 512² image against 64 candidates in
+    one dispatch (the fused multi-candidate kernel; the reference can
+    only loop N full detections, Watermark.cpp:234-250)."""
+    import jax
+    import jax.numpy as jnp
+
+    from watermarking_gpu_tpu.ops.pipelines import detect_many_pipeline
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(np.clip(rng.normal(128, 40, (rows, cols)), 0, 255),
+                      dtype=jnp.float32)
+    bank = jnp.asarray(rng.normal(0, 1, (n, rows, cols)), dtype=jnp.float32)
+
+    def make(k):
+        def run(image, wms):
+            out = jnp.float32(0.0)
+            for _ in range(k):
+                corr = detect_many_pipeline(image + out * 1e-30, wms, "me",
+                                            p=3, impl=default_impl())
+                out = jnp.sum(corr)
+            return out
+        return run
+
+    fns = {k: jax.jit(make(k)) for k in iters}
+    for k in iters:
+        np.asarray(fns[k](img, bank))          # compile + warm
+
+    def window(k):
+        t0 = time.perf_counter()
+        np.asarray(fns[k](img, bank))
+        return time.perf_counter() - t0
+
+    window(iters[0])
+    t_small = min(window(iters[0]) for _ in range(reps))
+    t_large = min(window(iters[1]) for _ in range(reps))
+    sec = (t_large - t_small) / (iters[1] - iters[0])
+    if sec <= 0:
+        sec = float("nan")
+    return {
+        "candidates": n,
+        "ms_per_dispatch": round(1e3 * sec, 4),
+        "us_per_candidate": round(1e6 * sec / n, 2),
+    }
+
+
 def video_detect_benchmark(rows=1080, cols=1920, interval=30, frames=2400,
                            batch=8):
     """Interval-sampled video detection with the real ingest path:
@@ -371,12 +417,19 @@ def main():
             frames, watermark, "me", "pallas", (ks, kl), p=p)
         print(key, report["results"][key], flush=True)
 
+    report["results"]["detect_many_512_n64"] = detect_many_benchmark()
+    print("detect_many_512_n64", report["results"]["detect_many_512_n64"],
+          flush=True)
     report["results"]["video_detect_1080p"] = video_detect_benchmark()
     print("video_detect_1080p", report["results"]["video_detect_1080p"],
           flush=True)
     report["results"]["video_embed_1080p_interval1"] = video_embed_benchmark()
     print("video_embed_1080p_interval1",
           report["results"]["video_embed_1080p_interval1"], flush=True)
+    report["results"]["video_embed_1080p_local_disk"] = \
+        video_embed_disk_soak()
+    print("video_embed_1080p_local_disk",
+          report["results"]["video_embed_1080p_local_disk"], flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
