@@ -111,3 +111,36 @@ def test_4k_non_divisible_sample():
     assert float(strength) > 0
     assert corr > clean + 0.3
     assert abs(clean) < 0.05
+
+
+@pytest.mark.skipif(not os.path.isdir(SAMPLES),
+                    reason="reference samples unavailable")
+@pytest.mark.parametrize("p", [5, 7, 9])
+@pytest.mark.parametrize("mask_type", ["nvf", "me"])
+def test_wide_window_goldens(p, mask_type):
+    """Regression pin for the generalized wide windows (p in {5,7,9} — the
+    capability the reference TODO'd away, main.cpp:88-89) on the real 512
+    sample: recorded XLA-oracle outputs, CPU backend, jax 0.9. The
+    cross-impl parity tests (test_pallas.py) catch pallas-vs-xla drift;
+    this catches BOTH drifting together. ME tolerances are wider than
+    p=3's: the wide Gram's conditioning amplifies f32 reduction-order
+    noise to ~2e-3 rel in strength (see tools/check_goldens.py)."""
+    img_path, wm_path, rows, cols = CASES["512"]
+    rgb = jnp.asarray(load_image_rgb(img_path))
+    gray = rgb_to_gray(rgb)
+    watermark = jnp.asarray(load_watermark(wm_path, rows, cols))
+    sf = strength_factor(40.0)
+
+    marked, strength = embed_pipeline(gray, rgb, watermark, sf, mask_type,
+                                      impl="xla", p=p)
+    corr = detect_pipeline(rgb_to_gray(marked), watermark, mask_type,
+                           impl="xla", p=p)
+    clean = detect_pipeline(gray, watermark, mask_type, impl="xla", p=p)
+
+    want = GOLDENS["wide_512"][f"p{p}"][mask_type]
+    strength_rel = 2e-3 if mask_type == "me" else 1e-4
+    assert float(strength) == pytest.approx(want["strength"],
+                                            rel=strength_rel)
+    assert float(corr) == pytest.approx(want["correlation"], abs=5e-4)
+    assert float(clean) == pytest.approx(want["clean_correlation"],
+                                         abs=5e-4)
