@@ -28,7 +28,13 @@ nothing; the gram representation is the noise floor). Strength inherits
 ~2e-3 of that through max|e| and ||mask * W||; the detector correlation is
 insensitive (passes at <=1e-3 on every backend/impl combination).
 
-Usage: python tools/check_goldens.py [--impl xla|pallas|both]
+``--wide`` also checks the generalized wide windows (p in {5, 7, 9}) on
+the 512 sample against the ``wide_512`` goldens — on ``impl='pallas'``
+that exercises the fused wide pipeline (the wide lag-Gram kernel +
+p-scaled fused tails, ``ops/pallas/me_gram_wide.py``) on real hardware,
+which the CPU suite only reaches through the Pallas interpreter.
+
+Usage: python tools/check_goldens.py [--impl xla|pallas|both] [--wide]
 """
 
 from __future__ import annotations
@@ -56,6 +62,9 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--impl", default="both",
                         choices=["xla", "pallas", "both"])
+    parser.add_argument("--wide", action="store_true",
+                        help="also check p in {5,7,9} on the 512 sample "
+                             "(pallas = the fused wide pipeline)")
     args = parser.parse_args()
 
     import jax
@@ -76,30 +85,42 @@ def main() -> int:
     print(f"backend: {jax.default_backend()}  device: {device}")
 
     failures = 0
+
+    def check(impl, label, mask_type, want, *, p=3):
+        nonlocal failures
+        marked, strength = embed_pipeline(gray, rgb, watermark, sf,
+                                          mask_type, impl=impl, p=p)
+        corr = detect_pipeline(rgb_to_gray(marked), watermark,
+                               mask_type, impl=impl, p=p)
+        clean = detect_pipeline(gray, watermark, mask_type, impl=impl, p=p)
+        d_s = abs(float(strength) / want["strength"] - 1.0)
+        d_c = abs(float(corr) - want["correlation"])
+        d_cl = abs(float(clean) - want["clean_correlation"])
+        ok = (d_s <= STRENGTH_RTOL[mask_type] and d_c <= CORR_TOL
+              and d_cl <= CORR_TOL)
+        failures += not ok
+        print(f"{impl:6s} {label:8s} {mask_type:3s}  "
+              f"strength {float(strength):10.4f} (drel {d_s:.2e})  "
+              f"corr {float(corr):.6f} (d {d_c:.2e})  "
+              f"clean (d {d_cl:.2e})  "
+              f"{'ok' if ok else 'FAIL'}")
+
     for impl in impls:
         for name, (img_path, wm_path, rows, cols) in CASES.items():
             rgb = jnp.asarray(load_image_rgb(img_path))
             gray = rgb_to_gray(rgb)
             watermark = jnp.asarray(load_watermark(wm_path, rows, cols))
             for mask_type in ("nvf", "me"):
-                marked, strength = embed_pipeline(gray, rgb, watermark, sf,
-                                                  mask_type, impl=impl)
-                corr = detect_pipeline(rgb_to_gray(marked), watermark,
-                                       mask_type, impl=impl)
-                clean = detect_pipeline(gray, watermark, mask_type,
-                                        impl=impl)
-                want = goldens[name][mask_type]
-                d_s = abs(float(strength) / want["strength"] - 1.0)
-                d_c = abs(float(corr) - want["correlation"])
-                d_cl = abs(float(clean) - want["clean_correlation"])
-                ok = (d_s <= STRENGTH_RTOL[mask_type] and d_c <= CORR_TOL
-                      and d_cl <= CORR_TOL)
-                failures += not ok
-                print(f"{impl:6s} {name:5s} {mask_type:3s}  "
-                      f"strength {float(strength):10.4f} (drel {d_s:.2e})  "
-                      f"corr {float(corr):.6f} (d {d_c:.2e})  "
-                      f"clean (d {d_cl:.2e})  "
-                      f"{'ok' if ok else 'FAIL'}")
+                check(impl, name, mask_type, goldens[name][mask_type])
+        if args.wide:
+            img_path, wm_path, rows, cols = CASES["512"]
+            rgb = jnp.asarray(load_image_rgb(img_path))
+            gray = rgb_to_gray(rgb)
+            watermark = jnp.asarray(load_watermark(wm_path, rows, cols))
+            for p in (5, 7, 9):
+                for mask_type in ("nvf", "me"):
+                    check(impl, f"512 p={p}", mask_type,
+                          goldens["wide_512"][f"p{p}"][mask_type], p=p)
     print("all goldens reproduced" if failures == 0
           else f"{failures} comparisons FAILED")
     return 1 if failures else 0
