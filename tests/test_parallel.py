@@ -241,8 +241,7 @@ def test_generalized_me_dp_matches_single(frames, watermark32):
 def test_generalized_me_spatial_matches_single(frames, watermark32):
     """Generalized ME (p=5) on the XLA shard path: the 2-row halo exchange
     feeds the 24-tap predictor; psum'd Gram/correlations match the
-    unsharded pipeline. The per-shard fused kernels stay p=3-only and
-    reject loudly."""
+    unsharded pipeline."""
     mesh = make_mesh(data=1, space=4)
     img = jnp.asarray(frames[0])
     wm = jnp.asarray(watermark32)
@@ -258,5 +257,42 @@ def test_generalized_me_spatial_matches_single(frames, watermark32):
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
                                atol=2e-3)
 
-    with pytest.raises(ValueError, match="p=3 only"):
-        make_spatial_detect(mesh, "me", p=5, impl="pallas")
+
+@pytest.mark.parametrize("p", [5, 7])
+def test_generalized_me_spatial_pallas_matches_single(frames, watermark32,
+                                                      p):
+    """The sharded FUSED wide pipeline (per-shard wide lag-Gram kernel
+    partials + psum, p-scaled fused tails with ICI-spliced halos) matches
+    the single-device fused wide pipeline."""
+    mesh = make_mesh(data=1, space=4)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref = detect_pipeline(img, wm, "me", p=p, impl="pallas")
+    got = make_spatial_detect(mesh, "me", p=p, impl="pallas")(
+        shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref), atol=1e-4)
+
+    ref_out, ref_s = embed_pipeline(img, img, wm, SF, "me", p=p,
+                                    impl="pallas")
+    got_out, got_s = make_spatial_embed(mesh, "me", SF, *img.shape, p=p,
+                                        impl="pallas")(
+        shard_rows(mesh, img), shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got_s), float(ref_s), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=2e-3)
+
+
+def test_generalized_me_spatial_pallas_degrades_outside_envelope(
+        frames, watermark32):
+    """ME p=9 on 8-row shards (local rows < 3h = 12) is outside the wide
+    kernels' envelope: the shards degrade to the XLA implementation
+    instead of failing, and still match the unsharded XLA pipeline."""
+    from watermarking_gpu_tpu.parallel.spatial import wide_shard_supported
+    assert not wide_shard_supported(8, 32, 64, 9)
+    mesh = make_mesh(data=1, space=4)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref = detect_pipeline(img, wm, "me", p=9, impl="xla")
+    got = make_spatial_detect(mesh, "me", p=9, impl="pallas")(
+        shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref), atol=1e-5)

@@ -242,14 +242,12 @@ def test_spatial_mesh_serving_matches_single(engine, frames):
                         mesh=make_mesh(data=1, space=5))
 
 
-def test_spatial_mesh_serving_degrades_wide_me(rng, frames):
-    """A pallas generalized-ME engine (p=5) over a SPACE mesh: the fused
-    wide Gram pads locally, which would be wrong at interior seams —
-    parallel.spatial.check_me_window rejects that combo for explicit
-    callers, so the service must degrade those shards to the XLA impl
-    instead of failing at factory time (_BatchingService._mesh_impl),
-    and the served results must match the engine's single-device fused
-    pipeline."""
+def test_spatial_mesh_serving_wide_me(rng, frames):
+    """A pallas generalized-ME engine (p=5) over a SPACE mesh serves
+    through the sharded fused wide pipeline (the shard functions route per
+    geometry — parallel.spatial.wide_shard_supported — so the service
+    passes the engine impl through, _BatchingService._mesh_impl), and the
+    served results match the engine's single-device fused pipeline."""
     from watermarking_gpu_tpu.parallel import make_mesh
     wm = rng.normal(size=(48, 64)).astype(np.float32)
     eng = BatchedWatermark(48, 64, wm, p=5, psnr=35.0, impl="pallas")
@@ -262,6 +260,6 @@ def test_spatial_mesh_serving_degrades_wide_me(rng, frames):
                for f in [service.submit(x) for x in frames[:4]]]
     finally:
         service.close()
-    # XLA shards vs the fused single-device path: f32 reduction-order
-    # noise amplified by the documented ME conditioning class
+    # sharded vs single-device fused wide path: f32 reduction-order noise
+    # amplified by the documented ME conditioning class
     np.testing.assert_allclose(got, direct, atol=1e-3)

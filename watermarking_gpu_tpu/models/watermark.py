@@ -141,9 +141,9 @@ class Watermark:
         lag-Gram kernel + generalized fused tails): it MEASURES 1.8x
         faster than the pure-XLA path at 1080p p=5 (994 vs 541 fps; the
         r2-era mixed pipeline that lost to XLA is now only the small-image
-        fallback inside pipelines._wide_me_fallback). Mesh paths still
-        resolve ME p>3 to XLA at their own factory checks
-        (parallel.spatial.check_me_window)."""
+        fallback inside pipelines._wide_me_fallback). Mesh paths route ME
+        p>3 per shard geometry the same way
+        (parallel.spatial.wide_shard_supported)."""
         del mask_type
         return self.impl
 

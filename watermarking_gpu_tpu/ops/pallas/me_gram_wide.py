@@ -296,15 +296,26 @@ def _assemble_wide(partials: jnp.ndarray, row_of, rows: int, cols: int,
 # -- entry points -------------------------------------------------------
 
 
-def me_gram_wide_padded(img_p: jnp.ndarray, rows: int, cols: int, pad: int,
-                        strip: int, rows_padded: int, p: int) -> jnp.ndarray:
-    """(B, k+1, k+1) Gram from a pre-padded (B, rows_padded+2pad, cols+2pad)
-    image."""
+def wide_gram_partials_padded(img_p: jnp.ndarray, rows: int, cols: int,
+                              pad: int, strip: int, rows_padded: int,
+                              p: int) -> jnp.ndarray:
+    """Kernel-side half of the wide Gram: (B, round_up(L, 8), cols + 2h)
+    per-lag lane partials over ``rows`` rows of a pre-padded
+    (B, rows_padded+2pad, cols+2pad) image (the Pallas form of
+    ``ops.me.lag_partials``; same layout contract, lane 0 = column -h).
+
+    The spatially-sharded path (``parallel.spatial._gram_wide_sharded``)
+    calls this per shard with the ICI-exchanged 2h-row bottom halo spliced
+    into the padding region: base rows are masked to the shard's local
+    rows (each center counted once globally) while the lag shifts read the
+    true neighbor rows, so the psum of the per-shard partials equals the
+    unsharded ones.
+    """
     h = p // 2
     lags = _plan(p)[0]
     batch = img_p.shape[0]
     n_out = round_up(len(lags), 8)
-    partials = pl.pallas_call(
+    return pl.pallas_call(
         partial(_wide_gram_kernel, h=h, pad=pad, strip=strip, width=cols,
                 rows=rows, lags=lags, masked=rows_padded != rows),
         grid=(batch, rows_padded // strip),
@@ -320,6 +331,15 @@ def me_gram_wide_padded(img_p: jnp.ndarray, rows: int, cols: int, pad: int,
                                        jnp.float32),
         interpret=interpret_mode(),
     )(img_p)
+
+
+def me_gram_wide_padded(img_p: jnp.ndarray, rows: int, cols: int, pad: int,
+                        strip: int, rows_padded: int, p: int) -> jnp.ndarray:
+    """(B, k+1, k+1) Gram from a pre-padded (B, rows_padded+2pad, cols+2pad)
+    image."""
+    h = p // 2
+    partials = wide_gram_partials_padded(img_p, rows, cols, pad, strip,
+                                         rows_padded, p)
     return _assemble_wide(partials,
                           wide_padded_row_provider(img_p, pad, cols, h),
                           rows, cols, p)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, SPACE_AXIS
-from .spatial import _detect_shard, _embed_shard, check_me_window, shard_map
+from .spatial import _detect_shard, _embed_shard, shard_map
 
 
 def make_hybrid_detect(mesh, mask_type: str, p: int = 3, impl: str = "xla"):
@@ -30,7 +30,6 @@ def make_hybrid_detect(mesh, mask_type: str, p: int = 3, impl: str = "xla"):
     B shards over data, H over space; the watermark is row-sharded and shared
     across the batch.
     """
-    check_me_window(mask_type, p, impl)
     fn = shard_map(partial(_detect_shard, mask_type=mask_type, p=p,
                            impl=impl),
                    mesh=mesh,
@@ -43,7 +42,6 @@ def make_hybrid_detect(mesh, mask_type: str, p: int = 3, impl: str = "xla"):
 def make_hybrid_embed(mesh, mask_type: str, strength_factor_value: float,
                       rows: int, cols: int, p: int = 3, impl: str = "xla"):
     """(B, H, W) frames -> (watermarked (B, H, W), strengths (B,))."""
-    check_me_window(mask_type, p, impl)
     del rows, cols  # shard-local geometry + axis size determine the totals
     fn = shard_map(
         partial(_embed_shard, mask_type=mask_type, p=p,

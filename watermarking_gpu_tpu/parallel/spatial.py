@@ -134,7 +134,7 @@ def _gram_psum(img_p3: jnp.ndarray, rows: int, cols: int, pad: int,
     return solve_coefficients_spd(gram[:, :8, :8], gram[:, :8, 8])
 
 
-def _gram_wide_sharded(img: jnp.ndarray, p: int):
+def _gram_wide_sharded(img: jnp.ndarray, p: int, impl: str = "xla"):
     """Global wide-window Rx/rx via per-shard lag partials + psum and the
     vectorized assembly (returns the REPLICATED global Gram terms).
 
@@ -147,6 +147,13 @@ def _gram_wide_sharded(img: jnp.ndarray, p: int):
     Unlike the per-pair boundary-strip formulation this keeps the mesh
     path's op count O(lags) — at p=9 the pair-window assembly was ~13k
     sibling ops per shard and minutes of XLA compile.
+
+    ``impl="pallas"`` computes each shard's partials with the wide
+    lag-Gram kernel instead (one pass over the shard's rows for all
+    canonical lags, ``me_gram_wide.wide_gram_partials_padded``): the
+    exchanged halo rows are spliced into the kernel's padding region, the
+    kernel's own bottom-row masking keeps every center counted exactly
+    once, and the same psum + boundary-bank assembly follows.
     """
     from ..ops.me import lag_partials
     from ..ops.pallas.me_gram_wide import _assemble_wide
@@ -158,12 +165,23 @@ def _gram_wide_sharded(img: jnp.ndarray, p: int):
     idx = lax.axis_index(SPACE_AXIS)
     rows = n * h_local
 
-    ext = exchange_row_halo(img, 2 * h)
-    widths = [(0, 0)] * (ext.ndim - 2) + [(0, 0), (3 * h, 3 * h)]
-    ext = jnp.pad(ext, widths, mode="edge")
-    flat = ext.reshape((-1,) + ext.shape[-2:])
-    partials = lag_partials(flat, h_local, cols, p, row0=2 * h,
-                            col0=2 * h)
+    if impl == "pallas":
+        from ..ops.pallas.me_gram_wide import (wide_gram_geometry,
+                                               wide_gram_partials_padded,
+                                               wide_pad)
+        pad = wide_pad(p)
+        strip, rows_padded = wide_gram_geometry(h_local, cols, p)
+        img_p = _flatten_batch(_splice_pad(
+            exchange_row_halo(img, 2 * h), 2 * h, h_local, pad, rows_padded))
+        partials = wide_gram_partials_padded(img_p, h_local, cols, pad,
+                                             strip, rows_padded, p)
+    else:
+        ext = exchange_row_halo(img, 2 * h)
+        widths = [(0, 0)] * (ext.ndim - 2) + [(0, 0), (3 * h, 3 * h)]
+        ext = jnp.pad(ext, widths, mode="edge")
+        flat = ext.reshape((-1,) + ext.shape[-2:])
+        partials = lag_partials(flat, h_local, cols, p, row0=2 * h,
+                                col0=2 * h)
     partials = lax.psum(partials, SPACE_AXIS)
 
     # boundary banks: global rows [-h, 3h) and [rows-h, rows+3h), clamped;
@@ -189,6 +207,38 @@ def _gram_wide_sharded(img: jnp.ndarray, p: int):
     k = p * p - 1
     return (gram[:, :k, :k].reshape(lead + (k, k)),
             gram[:, :k, k].reshape(lead + (k,)))
+
+
+def wide_shard_supported(local_rows: int, global_rows: int, cols: int,
+                         p: int) -> bool:
+    """Can the fused wide pipeline (wide lag-Gram kernel + p-scaled fused
+    tails) run per shard at this geometry?
+
+    Mirrors the single-chip envelope (``pipelines._wide_me_fallback``):
+    the assembly's lag windows need 6h global rows/cols, the boundary
+    banks and 2h halo exchange need 3h local rows, and both kernels'
+    minimum 8-row strips must fit their VMEM budgets at this width.
+    Outside the envelope the shard functions degrade to the XLA shard
+    implementation (same numerics, psum'd pair-window Gram terms).
+    """
+    from ..ops.pallas.fused import max_supported_cols
+    from ..ops.pallas.me_gram_wide import BUDGET, wide_pad
+
+    h, pad = p // 2, wide_pad(p)
+    return (p in (5, 7, 9)
+            and local_rows >= 3 * h
+            and global_rows >= 6 * h and cols >= 6 * h
+            and (8 + 2 * pad) * (cols + 2 * pad) <= BUDGET
+            and cols <= max_supported_cols("me", p))
+
+
+def _wide_gram_psum_pallas(img: jnp.ndarray, p: int):
+    """(coefficients (B, k), valid (B,)) for the generalized window via
+    per-shard wide-kernel lag partials + psum (B = flattened batch)."""
+    rx_matrix, rx_vector = _gram_wide_sharded(img, p, impl="pallas")
+    k = p * p - 1
+    return solve_coefficients_spd_vec(rx_matrix.reshape((-1, k, k)),
+                                      rx_vector.reshape((-1, k)))
 
 
 def _analysis_local(img: jnp.ndarray, p: int = 3):
@@ -230,25 +280,39 @@ def _predict_local(img: jnp.ndarray, coefficients: jnp.ndarray,
 
 def _detect_shard_pallas(img: jnp.ndarray, watermark: jnp.ndarray,
                          mask_type: str, p: int) -> jnp.ndarray:
-    """Per-shard fused Gram + detect tail; psum'd correlation reductions."""
+    """Per-shard fused Gram + detect tail; psum'd correlation reductions.
+
+    Generalized ME (p>3) runs the sharded wide Gram
+    (``_wide_gram_psum_pallas``) and the p-scaled fused tail: the e_z/u
+    ring is p//2 deep and its taps reach p//2 further, so the image
+    exchanges a ``stencil_reach`` halo and the watermark a p//2 one (the
+    ring rows at interior seams are TRUE rows of the neighbor shard; the
+    clamp-ring fix keys off the global row offset and only fires at the
+    true image border)."""
     from ..ops.pallas.fused import (fused_detect_partials_padded,
-                                    pipeline_geometry)
+                                    pipeline_geometry, stencil_reach)
 
     h, w = img.shape[-2:]
     batch_shape = img.shape[:-2]
     n = lax.axis_size(SPACE_AXIS)
     idx = lax.axis_index(SPACE_AXIS)
     pad, strip, rows_padded = pipeline_geometry(h, w, mask_type, p)
-    # rows the tail kernel truly reads beyond the shard: the +/-1 e_z ring
-    # needs image rows +/-2; the NVF mask over the ring needs 1 + p//2
-    halo = 2 if mask_type == "me" else max(2, 1 + p // 2)
+    # rows the tail kernel truly reads beyond the shard: the +/-(p//2) e_z
+    # ring rows' taps reach p//2 further (2 at the reference's p=3); the
+    # NVF mask over its +/-1 ring needs 1 + p//2
+    halo = stencil_reach(mask_type, p)
+    ring = (p if mask_type == "me" else 3) // 2   # u ring depth
 
     img_p3 = _flatten_batch(
         _splice_pad(exchange_row_halo(img, halo), halo, h, pad, rows_padded))
-    wm_p = _splice_pad(exchange_row_halo(watermark, 1), 1, h, pad,
+    wm_p = _splice_pad(exchange_row_halo(watermark, ring), ring, h, pad,
                        rows_padded)
 
-    coefficients, valid = _gram_psum(img_p3, h, w, pad, strip, rows_padded)
+    if mask_type == "me" and p != 3:
+        coefficients, valid = _wide_gram_psum_pallas(img, p)
+    else:
+        coefficients, valid = _gram_psum(img_p3, h, w, pad, strip,
+                                         rows_padded)
     row_start = jnp.reshape(idx * h, (1,)).astype(jnp.int32)
     dot, norm_u, norm_z = fused_detect_partials_padded(
         img_p3, wm_p, coefficients, h, w, pad, strip, rows_padded,
@@ -260,9 +324,23 @@ def _detect_shard_pallas(img: jnp.ndarray, watermark: jnp.ndarray,
     return jnp.where(valid, corr, 0.0).reshape(batch_shape)
 
 
+def _use_pallas_shard(img: jnp.ndarray, mask_type: str, p: int,
+                      impl: str) -> bool:
+    """Shard-level analog of ``pipelines._wide_me_fallback``: pallas runs
+    the fused kernels per shard, except generalized ME outside the wide
+    kernels' envelope, which degrades to the XLA shard implementation."""
+    if impl != "pallas":
+        return False
+    if mask_type != "me" or p == 3:
+        return True
+    return wide_shard_supported(img.shape[-2],
+                                lax.axis_size(SPACE_AXIS) * img.shape[-2],
+                                img.shape[-1], p)
+
+
 def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
                   p: int, impl: str = "xla") -> jnp.ndarray:
-    if impl == "pallas":
+    if _use_pallas_shard(img, mask_type, p, impl):
         return _detect_shard_pallas(img, watermark, mask_type, p)
     # predictor window: p for the generalized ME mask, the reference's
     # fixed 3x3 for NVF detection (p sizes only the variance window)
@@ -296,16 +374,19 @@ def _embed_shard_pallas(img: jnp.ndarray, output: jnp.ndarray,
     batch_shape = img.shape[:-2]
     n = lax.axis_size(SPACE_AXIS)
     pad, strip, rows_padded = pipeline_geometry(h, w, mask_type, p)
-    # the embed field reads +/-1 rows for the ME error, p//2 for NVF; the
-    # ME analysis Gram additionally needs the +/-1 seam rows
-    halo = 1 if mask_type == "me" else max(1, p // 2)
+    # the embed field reads +/-(p//2) rows (the ME error's taps / the NVF
+    # variance window); the p=3 ME analysis Gram additionally needs the
+    # +/-1 seam rows (the wide Gram exchanges its own 2h halo)
+    halo = max(1, p // 2)
 
     img_p3 = _flatten_batch(
         _splice_pad(exchange_row_halo(img, halo), halo, h, pad, rows_padded))
     wm_p = pad_image(watermark, pad, rows_padded)   # center rows only
 
     nb = img_p3.shape[0]
-    if mask_type == "me":
+    if mask_type == "me" and p != 3:
+        coefficients, valid = _wide_gram_psum_pallas(img, p)
+    elif mask_type == "me":
         coefficients, valid = _gram_psum(img_p3, h, w, pad, strip,
                                          rows_padded)
     else:
@@ -335,7 +416,7 @@ def _embed_shard_pallas(img: jnp.ndarray, output: jnp.ndarray,
 def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
                  watermark: jnp.ndarray, strength_factor_value: float,
                  mask_type: str, p: int, impl: str = "xla"):
-    if impl == "pallas":
+    if _use_pallas_shard(img, mask_type, p, impl):
         return _embed_shard_pallas(img, output, watermark,
                                    strength_factor_value, mask_type, p)
     if mask_type == "me":
@@ -359,27 +440,15 @@ def _embed_shard(img: jnp.ndarray, output: jnp.ndarray,
     return watermarked, jnp.where(valid, strength, 0.0)
 
 
-def check_me_window(mask_type: str, p: int, impl: str) -> None:
-    """The per-shard *fused kernels* implement the p=3 predictor; the
-    XLA shard path generalizes ME to any window (it exchanges a p//2-row
-    halo). Single-device impl='pallas' at ME p>3 runs the fused wide
-    pipeline (pipelines._wide_me_fallback routing); the sharded pallas
-    path has no wide variant (the wide Gram pads locally, which would be
-    wrong at interior seams), so it rejects at factory time."""
-    if impl == "pallas" and mask_type == "me" and p != 3:
-        raise ValueError(
-            f"spatial/hybrid impl='pallas' supports the ME mask at p=3 "
-            f"only (got p={p}); use impl='xla' for the generalized "
-            f"predictor.")
-
-
 def make_spatial_detect(mesh, mask_type: str, p: int = 3,
                         impl: str = "xla"):
     """jit-compiled row-sharded detect: (H, W) image, (H, W) W -> scalar.
 
-    impl="pallas" runs the fused Gram + detect-tail kernels per shard.
+    impl="pallas" runs the fused Gram + detect-tail kernels per shard —
+    including the generalized-ME wide pipeline (sharded wide lag-Gram +
+    p-scaled fused tails) inside its envelope, ``wide_shard_supported``;
+    outside it the shards degrade to the XLA implementation.
     """
-    check_me_window(mask_type, p, impl)
     row_sharded = P(SPACE_AXIS, None)
     fn = shard_map(
         partial(_detect_shard, mask_type=mask_type, p=p, impl=impl),
@@ -393,9 +462,9 @@ def make_spatial_embed(mesh, mask_type: str, strength_factor_value: float,
                        channels: bool = False, impl: str = "xla"):
     """jit-compiled row-sharded embed -> (watermarked, strength).
 
-    impl="pallas" runs the fused Gram + embed-field kernels per shard.
+    impl="pallas" runs the fused Gram + embed-field kernels per shard
+    (generalized-ME routing as in ``make_spatial_detect``).
     """
-    check_me_window(mask_type, p, impl)
     del rows, cols  # shard-local geometry + axis size determine the totals
     row_sharded = P(SPACE_AXIS, None)
     out_sharded = P(SPACE_AXIS, None, None) if channels else row_sharded

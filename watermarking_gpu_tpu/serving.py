@@ -82,16 +82,12 @@ class _BatchingService:
 
     def _mesh_impl(self, engine) -> str:
         """Shard implementation for the mesh path: the engine's per-mask
-        impl, degraded to the XLA shard path for spatially-sharded
-        generalized ME (the fused wide Gram pads locally, which would be
-        wrong at interior seams — parallel.spatial.check_me_window rejects
-        that combo for explicit callers; the service degrades instead so a
-        pallas p>3 engine still serves over any mesh)."""
-        impl = engine._impl_for(self.mask_type)
-        if (self._space > 1 and impl == "pallas"
-                and self.mask_type == MaskType.ME and engine.p != 3):
-            return "xla"
-        return impl
+        impl. Spatially-sharded generalized ME runs the sharded fused wide
+        pipeline inside its envelope and degrades to the XLA shard
+        implementation outside it — the shard functions route per geometry
+        (parallel.spatial.wide_shard_supported), so the service passes the
+        impl through unchanged."""
+        return engine._impl_for(self.mask_type)
 
     # -- override points ----------------------------------------------------
 
