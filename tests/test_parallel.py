@@ -296,3 +296,34 @@ def test_generalized_me_spatial_pallas_degrades_outside_envelope(
     got = make_spatial_detect(mesh, "me", p=9, impl="pallas")(
         shard_rows(mesh, img), shard_rows(mesh, wm))
     np.testing.assert_allclose(float(got), float(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_dp_detect_many_matches_single(frames, watermark32, impl):
+    """Candidate-sharded identification: the (N, H, W) bank shards over
+    the data axis; each chip runs the shared-analysis detect_many on its
+    slice, matching the single-device pipeline."""
+    from watermarking_gpu_tpu.ops.pipelines import detect_many_pipeline
+    from watermarking_gpu_tpu.parallel import make_dp_detect_many
+
+    mesh = make_mesh(data=4)
+    rng = np.random.default_rng(99)
+    bank = jnp.asarray(
+        np.stack([watermark32] + [rng.normal(size=watermark32.shape)
+                                  for _ in range(7)]).astype(np.float32))
+    marked, _ = embed_pipeline(jnp.asarray(frames[0]),
+                               jnp.asarray(frames[0]),
+                               jnp.asarray(watermark32), SF, "me")
+    ref = detect_many_pipeline(marked, bank, "me", impl=impl)
+    fn = make_dp_detect_many(mesh, "me", impl=impl)
+    got = fn(replicate(mesh, marked), shard_frames(mesh, bank))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    assert int(np.argmax(np.asarray(got))) == 0   # the embedded one wins
+
+    # batched form: (B, H, W) x (N, H, W) -> (B, N)
+    imgs = jnp.stack([marked, jnp.asarray(frames[1])])
+    ref_b = detect_many_pipeline(imgs, bank, "me", impl=impl)
+    fn_b = make_dp_detect_many(mesh, "me", impl=impl, batched=True)
+    got_b = fn_b(replicate(mesh, imgs), shard_frames(mesh, bank))
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               atol=1e-4)

@@ -44,6 +44,33 @@ def make_dp_detect(mesh, mask_type: str, p: int = 3, impl: str = "xla"):
     return jax.jit(fn)
 
 
+def make_dp_detect_many(mesh, mask_type: str, p: int = 3,
+                        impl: str = "xla", batched: bool = False):
+    """jit-compiled candidate-sharded watermark identification.
+
+    (H, W) image — or (B, H, W) with ``batched=True`` — against an
+    (N, H, W) candidate bank sharded over the ``data`` axis ->
+    (..., N) correlations, candidate axis sharded. Each chip runs the
+    shared-analysis ``detect_many_pipeline`` on its local bank slice: the
+    image analysis (Gram, solve, error sequence, mask) is recomputed per
+    chip but shared across that chip's N/n candidates, so the replicated
+    work is one detection's analysis — not N of them — and no collectives
+    run. This scales the identification capability the reference could
+    only express as a loop of full detections
+    (``/root/reference/Watermark_GPU/Watermark.cpp:234-250``).
+    """
+    from ..ops.pipelines import detect_many_pipeline
+
+    img_spec = P(None, None, None) if batched else P(None, None)
+    out_spec = P(None, DATA_AXIS) if batched else P(DATA_AXIS)
+    fn = shard_map(partial(detect_many_pipeline, mask_type=mask_type, p=p,
+                           impl=impl),
+                   mesh=mesh,
+                   in_specs=(img_spec, P(DATA_AXIS, None, None)),
+                   out_specs=out_spec, check_vma=False)
+    return jax.jit(fn)
+
+
 def make_dp_embed(mesh, mask_type: str, strength_factor_value: float,
                   p: int = 3, impl: str = "xla", channels: bool = False):
     """jit-compiled frame-sharded embed.
