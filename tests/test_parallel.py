@@ -327,3 +327,30 @@ def test_dp_detect_many_matches_single(frames, watermark32, impl):
     got_b = fn_b(replicate(mesh, imgs), shard_frames(mesh, bank))
     np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("mask_type", ["me", "nvf"])
+def test_mesh_detect_many_matches_single(frames, watermark32, mask_type):
+    """Full-mesh identification (rows over space, candidates over data)
+    matches the single-device shared-analysis pipeline, including the
+    generalized window (p=5 sizes the NVF variance window / ME
+    predictor)."""
+    from watermarking_gpu_tpu.ops.pipelines import detect_many_pipeline
+    from watermarking_gpu_tpu.parallel import (make_mesh_detect_many,
+                                               shard_hybrid, shard_rows)
+
+    mesh = make_mesh(data=2, space=4)
+    rng = np.random.default_rng(7)
+    bank = jnp.asarray(
+        np.stack([watermark32] + [rng.normal(size=watermark32.shape)
+                                  for _ in range(7)]).astype(np.float32))
+    marked, _ = embed_pipeline(jnp.asarray(frames[0]),
+                               jnp.asarray(frames[0]),
+                               jnp.asarray(watermark32), SF, mask_type)
+    for p in (3, 5):
+        ref = detect_many_pipeline(marked, bank, mask_type, p=p)
+        got = make_mesh_detect_many(mesh, mask_type, p=p)(
+            shard_rows(mesh, marked), shard_hybrid(mesh, bank))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+        assert int(np.argmax(np.asarray(got))) == 0

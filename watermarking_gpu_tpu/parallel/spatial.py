@@ -362,6 +362,39 @@ def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
     return jnp.where(valid, corr, 0.0)
 
 
+def _detect_many_shard(img: jnp.ndarray, watermarks: jnp.ndarray,
+                       mask_type: str, p: int) -> jnp.ndarray:
+    """Watermark identification per shard: (h_local, W) image rows x
+    (N_local, h_local, W) candidate rows -> (N_local,) correlations.
+
+    The image analysis (Gram psum, replicated solve, error sequence,
+    mask) is computed once per shard and shared across the shard's
+    candidates — the mesh form of ``detect_many_pipeline``'s shared
+    analysis (vs the reference's only option of looping full detections,
+    ``Watermark.cpp:234-250``). Row reductions psum over the space axis;
+    the candidate axis needs no collectives.
+    """
+    pred_p = p if mask_type == "me" else 3
+    coefficients, valid = _analysis_local(img, pred_p)
+    e_z = img - _predict_local(img, coefficients, pred_p)
+    if mask_type == "me":
+        abs_err = jnp.abs(e_z)
+        local_max = jnp.max(abs_err, axis=(-2, -1), keepdims=True)
+        mask = abs_err / lax.pmax(local_max, SPACE_AXIS)
+    else:
+        mask = _nvf_local(img, p)
+    u = mask[None] * watermarks                       # (N_local, h, W)
+    n = watermarks.shape[0]
+    coeffs_n = jnp.broadcast_to(coefficients[None],
+                                (n,) + coefficients.shape)
+    e_u = u - _predict_local(u, coeffs_n, pred_p)
+    dot = lax.psum(jnp.sum(e_u * e_z[None], axis=(-2, -1)), SPACE_AXIS)
+    norm_u = lax.psum(jnp.sum(e_u * e_u, axis=(-2, -1)), SPACE_AXIS)
+    norm_z = lax.psum(jnp.sum(e_z * e_z, axis=(-2, -1)), SPACE_AXIS)
+    corr = dot / jnp.sqrt(norm_u * norm_z)
+    return jnp.where(valid, corr, 0.0)
+
+
 def _embed_shard_pallas(img: jnp.ndarray, output: jnp.ndarray,
                         watermark: jnp.ndarray, strength_factor_value: float,
                         mask_type: str, p: int):
