@@ -329,12 +329,15 @@ def test_dp_detect_many_matches_single(frames, watermark32, impl):
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
 @pytest.mark.parametrize("mask_type", ["me", "nvf"])
-def test_mesh_detect_many_matches_single(frames, watermark32, mask_type):
+def test_mesh_detect_many_matches_single(frames, watermark32, mask_type,
+                                         impl):
     """Full-mesh identification (rows over space, candidates over data)
     matches the single-device shared-analysis pipeline, including the
     generalized window (p=5 sizes the NVF variance window / ME
-    predictor)."""
+    predictor). impl='pallas' chains the fused multi-candidate kernel
+    per shard with the shard's global row offset."""
     from watermarking_gpu_tpu.ops.pipelines import detect_many_pipeline
     from watermarking_gpu_tpu.parallel import (make_mesh_detect_many,
                                                shard_hybrid, shard_rows)
@@ -349,7 +352,7 @@ def test_mesh_detect_many_matches_single(frames, watermark32, mask_type):
                                jnp.asarray(watermark32), SF, mask_type)
     for p in (3, 5):
         ref = detect_many_pipeline(marked, bank, mask_type, p=p)
-        got = make_mesh_detect_many(mesh, mask_type, p=p)(
+        got = make_mesh_detect_many(mesh, mask_type, p=p, impl=impl)(
             shard_rows(mesh, marked), shard_hybrid(mesh, bank))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4)

@@ -509,6 +509,69 @@ def _detect_many_kernel_raw(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref,
                       p=p, nc=nc, masked=masked)
 
 
+def fused_detect_many_partials_padded(
+        img_p: jnp.ndarray, wm_p: jnp.ndarray, coefficients: jnp.ndarray,
+        rows: int, cols: int, pad: int, strip: int, rows_padded: int,
+        nc: int, mask_type: str, p: int,
+        row_start: jnp.ndarray | None = None,
+        total_rows: int | None = None
+        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Multi-candidate partials from PRE-PADDED inputs.
+
+    ``img_p`` is (B, rows_padded+2pad, cols+2pad) and ``wm_p`` a
+    chunk-multiple (N_pad, rows_padded+2pad, cols+2pad) candidate bank
+    (N_pad a multiple of ``nc``; geometry from ``detect_many_chunk``).
+    ``row_start``/``total_rows`` position the shard in the global image
+    for the clamp-ring fix, exactly as in ``fused_detect_partials_padded``
+    — the spatially-sharded identification path splices ICI-exchanged
+    halo rows into the padding and passes its global row offset. Returns
+    per-image/per-candidate partials (dot (B, N_pad), ||e_u||^2 (B, N_pad),
+    ||e_z||^2 (B,)) — NOT psum'd; mesh callers reduce over the space axis.
+    """
+    batch = img_p.shape[0]
+    n_pad = wm_p.shape[0]
+    n_chunks = n_pad // nc
+    slots = (2 * nc + 1 + 7) // 8 * 8
+    if row_start is None:
+        row_start = jnp.zeros((1,), jnp.int32)
+    total_rows = rows if total_rows is None else total_rows
+    kw = dict(pad=pad, strip=strip, width=cols, rows=rows,
+              total_rows=total_rows, mask_type=mask_type, p=p, nc=nc,
+              masked=rows_padded != rows)
+    wm_spec = pl.BlockSpec(
+        (pl.Element(nc), pl.Element(strip + 2 * pad),
+         pl.Element(cols + 2 * pad)),
+        lambda b, c, i, cf, r: (c * nc, i * strip, 0),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch, n_chunks, rows_padded // strip),
+        in_specs=[
+            pl.BlockSpec(
+                (pl.Element(1), pl.Element(strip + 2 * pad),
+                 pl.Element(cols + 2 * pad)),
+                lambda b, c, i, cf, r: (b, i * strip, 0),
+                memory_space=pltpu.VMEM),
+            wm_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, slots, cols),
+                               lambda b, c, i, cf, r: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    acc = pl.pallas_call(
+        partial(_detect_many_kernel, **kw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, n_chunks, slots, cols),
+                                       jnp.float32),
+        interpret=interpret_mode(),
+    )(coefficients.reshape(-1), row_start, img_p, wm_p)
+    dot = jnp.sum(acc[:, :, 0:2 * nc:2, :], axis=-1).reshape(batch, n_pad)
+    norm_u = jnp.sum(acc[:, :, 1:2 * nc:2, :], axis=-1).reshape(batch,
+                                                                n_pad)
+    norm_z = jnp.sum(acc[:, 0, 2 * nc, :], axis=-1)
+    return dot, norm_u, norm_z
+
+
 def fused_detect_many_partials(
         img: jnp.ndarray, wm_stack: jnp.ndarray, coefficients: jnp.ndarray,
         mask_type: str, p: int
@@ -579,24 +642,10 @@ def fused_detect_many_partials(
         )(coefficients.reshape(-1), row_start, img, wm_p)
     else:
         img_p = pad_image(img, pad_used, rows_padded)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(batch, n_chunks, rows_padded // strip),
-            in_specs=[
-                pl.BlockSpec(
-                    (pl.Element(1), pl.Element(strip + 2 * pad_used),
-                     pl.Element(cols + 2 * pad_used)),
-                    lambda b, c, i, cf, r: (b, i * strip, 0),
-                    memory_space=pltpu.VMEM),
-                wm_spec,
-            ],
-            out_specs=out_spec,
-        )
-        acc = pl.pallas_call(
-            partial(_detect_many_kernel, **kw),
-            grid_spec=grid_spec, out_shape=out_shape,
-            interpret=interpret_mode(),
-        )(coefficients.reshape(-1), row_start, img_p, wm_p)
+        dot, norm_u, norm_z = fused_detect_many_partials_padded(
+            img_p, wm_p, coefficients, rows, cols, pad_used, strip,
+            rows_padded, nc, mask_type, p)
+        return dot[:, :n], norm_u[:, :n], norm_z
     dot = jnp.sum(acc[:, :, 0:2 * nc:2, :], axis=-1).reshape(batch, n_pad)
     norm_u = jnp.sum(acc[:, :, 1:2 * nc:2, :], axis=-1).reshape(batch,
                                                                 n_pad)

@@ -67,7 +67,8 @@ def shard_watermark(mesh, watermark: jnp.ndarray) -> jnp.ndarray:
         watermark, NamedSharding(mesh, P(SPACE_AXIS, None)))
 
 
-def make_mesh_detect_many(mesh, mask_type: str, p: int = 3):
+def make_mesh_detect_many(mesh, mask_type: str, p: int = 3,
+                          impl: str = "xla"):
     """Watermark identification over the full mesh: (H, W) image x
     (N, H, W) candidate bank -> (N,) correlations, with image/candidate
     ROWS sharded over ``space`` and the CANDIDATE axis over ``data``.
@@ -76,7 +77,8 @@ def make_mesh_detect_many(mesh, mask_type: str, p: int = 3):
     large for one chip row-shard (halo exchange + psum'd reductions,
     exactly like detection), and the bank splits across data groups with
     no collectives. Each (data, space) shard runs the shared-analysis
-    XLA implementation (``spatial._detect_many_shard``); with data=1 this
+    implementation (``spatial._detect_many_shard``; ``impl="pallas"``
+    chains the fused multi-candidate kernel per shard); with data=1 this
     is pure spatial identification, with space=1 pure candidate
     parallelism (see also ``make_dp_detect_many``, which keeps whole
     frames per chip and is batch-polymorphic over images).
@@ -84,7 +86,7 @@ def make_mesh_detect_many(mesh, mask_type: str, p: int = 3):
     from .spatial import _detect_many_shard
 
     fn = shard_map(
-        partial(_detect_many_shard, mask_type=mask_type, p=p),
+        partial(_detect_many_shard, mask_type=mask_type, p=p, impl=impl),
         mesh=mesh,
         in_specs=(P(SPACE_AXIS, None), P(DATA_AXIS, SPACE_AXIS, None)),
         out_specs=P(DATA_AXIS), check_vma=False)

@@ -362,8 +362,54 @@ def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
     return jnp.where(valid, corr, 0.0)
 
 
+def _detect_many_shard_pallas(img: jnp.ndarray, watermarks: jnp.ndarray,
+                              mask_type: str, p: int) -> jnp.ndarray:
+    """Fused multi-candidate identification per shard: the chunked
+    multi-candidate kernel reads the spliced image strip once per
+    nc-candidate chunk and accumulates per-candidate (dot, ||e_u||^2)
+    partials; psum over the space axis reduces the row shards."""
+    from ..ops.pallas.fused import (detect_many_chunk,
+                                    fused_detect_many_partials_padded,
+                                    stencil_reach)
+
+    h, w = img.shape[-2:]
+    n_dev = lax.axis_size(SPACE_AXIS)
+    idx = lax.axis_index(SPACE_AXIS)
+    n = watermarks.shape[0]
+    nc, pad, strip, rows_padded = detect_many_chunk(n, h, w, mask_type, p)
+    halo = stencil_reach(mask_type, p)
+    ring = (p if mask_type == "me" else 3) // 2
+
+    img_p = _splice_pad(exchange_row_halo(img, halo), halo, h, pad,
+                        rows_padded)[None]
+    n_pad = (n + nc - 1) // nc * nc
+    wms = watermarks if n_pad == n else jnp.concatenate(
+        [watermarks,
+         jnp.broadcast_to(watermarks[-1:], (n_pad - n, h, w))])
+    wm_p = _splice_pad(exchange_row_halo(wms, ring), ring, h, pad,
+                       rows_padded)
+
+    if mask_type == "me" and p != 3:
+        coefficients, valid = _wide_gram_psum_pallas(img, p)
+    else:
+        # the chunk splice works for the p=3 Gram kernel too: its lag
+        # reach is 2 rows and halo = stencil_reach >= 2 at every p
+        coefficients, valid = _gram_psum(img_p, h, w, pad, strip,
+                                         rows_padded)
+    row_start = jnp.reshape(idx * h, (1,)).astype(jnp.int32)
+    dot, norm_u, norm_z = fused_detect_many_partials_padded(
+        img_p, wm_p, coefficients, h, w, pad, strip, rows_padded, nc,
+        mask_type, p, row_start=row_start, total_rows=n_dev * h)
+    dot = lax.psum(dot, SPACE_AXIS)
+    norm_u = lax.psum(norm_u, SPACE_AXIS)
+    norm_z = lax.psum(norm_z, SPACE_AXIS)
+    corr = dot[0, :n] / jnp.sqrt(norm_u[0, :n] * norm_z[0])
+    return jnp.where(valid[0], corr, 0.0)
+
+
 def _detect_many_shard(img: jnp.ndarray, watermarks: jnp.ndarray,
-                       mask_type: str, p: int) -> jnp.ndarray:
+                       mask_type: str, p: int,
+                       impl: str = "xla") -> jnp.ndarray:
     """Watermark identification per shard: (h_local, W) image rows x
     (N_local, h_local, W) candidate rows -> (N_local,) correlations.
 
@@ -372,8 +418,12 @@ def _detect_many_shard(img: jnp.ndarray, watermarks: jnp.ndarray,
     candidates — the mesh form of ``detect_many_pipeline``'s shared
     analysis (vs the reference's only option of looping full detections,
     ``Watermark.cpp:234-250``). Row reductions psum over the space axis;
-    the candidate axis needs no collectives.
+    the candidate axis needs no collectives. ``impl="pallas"`` runs the
+    fused multi-candidate kernel per shard (same envelope gate as
+    detection).
     """
+    if _use_pallas_shard(img, mask_type, p, impl):
+        return _detect_many_shard_pallas(img, watermarks, mask_type, p)
     pred_p = p if mask_type == "me" else 3
     coefficients, valid = _analysis_local(img, pred_p)
     e_z = img - _predict_local(img, coefficients, pred_p)
