@@ -419,13 +419,17 @@ def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
     plane equivalents (wm double-buffer 16, raw image block + staging 3,
     e_z/mask/u/e_u temporaries and Mosaic's own copies the rest), where
     the naive live-set count said 21. The 2.6M-element numerator keeps the
-    worst case ~14.5 MB against the 16 MB scoped limit.
+    worst case ~14.5 MB against the 16 MB scoped limit at p=3; wider ME
+    windows scale it by tail_budget's measured ratio (the generalized
+    rings/taps keep more live temporaries per strip row — conservative
+    pending an on-chip calibration of the chunked kernel itself).
     """
     from .common import pick_strip, raw_mode_ok
 
     pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
     nc = min(8, n)
-    budget = 2_600_000 // (2 * nc + 5)
+    total = 2_600_000 * tail_budget(mask_type, p) // SHARED_BUDGET
+    budget = total // (2 * nc + 5)
     strip, rows_padded = pick_strip_for_width(rows, cols, budget, pad)
     if not raw_mode_ok(rows, strip, rows_padded):
         capped = max(8, rows // 2 // 8 * 8)
@@ -435,6 +439,17 @@ def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
         if raw_mode_ok(rows, strip2, rows_padded2):
             return nc, pad, strip2, rows_padded2
     return nc, pad, strip, rows_padded
+
+
+def detect_many_supported(n: int, rows: int, cols: int, mask_type: str,
+                          p: int) -> bool:
+    """Can the chunked multi-candidate kernel run at this geometry? The
+    minimum 8-row strip (plus halos) must fit the chunk VMEM budget;
+    callers fall back to the shared-analysis XLA formulation otherwise
+    (``pipelines.detect_many_pipeline``)."""
+    nc, pad, _, _ = detect_many_chunk(n, rows, cols, mask_type, p)
+    total = 2_600_000 * tail_budget(mask_type, p) // SHARED_BUDGET
+    return (8 + 2 * pad) * (cols + 2 * pad) <= total // (2 * nc + 5)
 
 
 def _detect_many_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,

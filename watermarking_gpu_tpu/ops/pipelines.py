@@ -371,7 +371,12 @@ def detect_many_pipeline(image: jnp.ndarray, watermarks: jnp.ndarray,
     n, rows, cols = watermarks.shape
     batch_shape = image.shape[:-2]
     pred_p = p if mask_type == "me" else 3
-    if impl == "pallas" and not _wide_me_fallback(image, mask_type, p):
+    use_fused = impl == "pallas" and not _wide_me_fallback(image, mask_type,
+                                                           p)
+    if use_fused:
+        from .pallas.fused import detect_many_supported
+        use_fused = detect_many_supported(n, rows, cols, mask_type, p)
+    if use_fused:
         from .pallas.fused import fused_detect_many_partials
         img3 = image.reshape((-1, rows, cols))
         coefficients, valid = _fused_analysis(img3, pred_p)

@@ -423,7 +423,10 @@ def _detect_many_shard(img: jnp.ndarray, watermarks: jnp.ndarray,
     detection).
     """
     if _use_pallas_shard(img, mask_type, p, impl):
-        return _detect_many_shard_pallas(img, watermarks, mask_type, p)
+        from ..ops.pallas.fused import detect_many_supported
+        if detect_many_supported(watermarks.shape[0], img.shape[-2],
+                                 img.shape[-1], mask_type, p):
+            return _detect_many_shard_pallas(img, watermarks, mask_type, p)
     pred_p = p if mask_type == "me" else 3
     coefficients, valid = _analysis_local(img, pred_p)
     e_z = img - _predict_local(img, coefficients, pred_p)
