@@ -59,6 +59,24 @@ def main():
     print(f"marked correlations: {corrs.round(3)}")
     print(f"clean  correlations: {clean.round(3)}")
 
+    # identification over the same mesh: WHICH watermark does a frame
+    # carry? The candidate bank splits across `data` groups while the
+    # frame's rows stay sharded over `space`.
+    from watermarking_gpu_tpu.parallel import (make_mesh_detect_many,
+                                               shard_rows)
+    n_candidates = 2 * data
+    bank = jnp.concatenate([
+        watermark[None],
+        jnp.asarray(rng.normal(0, 1, (n_candidates - 1, rows, cols)),
+                    jnp.float32)])
+    identify = make_mesh_detect_many(mesh, "me", impl=impl)
+    corrs_n = np.asarray(identify(
+        shard_rows(mesh, jnp.asarray(np.asarray(marked)[0])),
+        shard_hybrid(mesh, bank)))
+    print(f"identification over {n_candidates} candidates: "
+          f"argmax={int(corrs_n.argmax())} (0 = the embedded one), "
+          f"margin {corrs_n[0] - np.sort(corrs_n)[-2]:.3f}")
+
 
 if __name__ == "__main__":
     main()
