@@ -357,3 +357,15 @@ def test_mesh_detect_many_matches_single(frames, watermark32, mask_type,
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-4)
         assert int(np.argmax(np.asarray(got))) == 0
+
+    # batched form: (B, H, W) images (replicated over data, rows over
+    # space) x the sharded bank -> (B, N)
+    imgs = jnp.stack([marked, jnp.asarray(frames[1])])
+    ref_b = detect_many_pipeline(imgs, bank, mask_type)
+    got_b = make_mesh_detect_many(mesh, mask_type, impl=impl,
+                                  batched=True)(
+        jax.device_put(imgs, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "space", None))),
+        shard_hybrid(mesh, bank))
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
+                               atol=1e-4)

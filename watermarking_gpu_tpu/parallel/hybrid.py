@@ -68,10 +68,11 @@ def shard_watermark(mesh, watermark: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_mesh_detect_many(mesh, mask_type: str, p: int = 3,
-                          impl: str = "xla"):
-    """Watermark identification over the full mesh: (H, W) image x
-    (N, H, W) candidate bank -> (N,) correlations, with image/candidate
-    ROWS sharded over ``space`` and the CANDIDATE axis over ``data``.
+                          impl: str = "xla", batched: bool = False):
+    """Watermark identification over the full mesh: (H, W) image — or
+    (B, H, W) with ``batched=True`` — x (N, H, W) candidate bank ->
+    (..., N) correlations, with image/candidate ROWS sharded over
+    ``space`` and the CANDIDATE axis over ``data``.
 
     Composes both scaling axes of the identification problem: frames too
     large for one chip row-shard (halo exchange + psum'd reductions,
@@ -85,9 +86,12 @@ def make_mesh_detect_many(mesh, mask_type: str, p: int = 3,
     """
     from .spatial import _detect_many_shard
 
+    img_spec = (P(None, SPACE_AXIS, None) if batched
+                else P(SPACE_AXIS, None))
+    out_spec = P(None, DATA_AXIS) if batched else P(DATA_AXIS)
     fn = shard_map(
         partial(_detect_many_shard, mask_type=mask_type, p=p, impl=impl),
         mesh=mesh,
-        in_specs=(P(SPACE_AXIS, None), P(DATA_AXIS, SPACE_AXIS, None)),
-        out_specs=P(DATA_AXIS), check_vma=False)
+        in_specs=(img_spec, P(DATA_AXIS, SPACE_AXIS, None)),
+        out_specs=out_spec, check_vma=False)
     return jax.jit(fn)

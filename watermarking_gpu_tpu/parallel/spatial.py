@@ -134,7 +134,8 @@ def _gram_psum(img_p3: jnp.ndarray, rows: int, cols: int, pad: int,
     return solve_coefficients_spd(gram[:, :8, :8], gram[:, :8, 8])
 
 
-def _gram_wide_sharded(img: jnp.ndarray, p: int, impl: str = "xla"):
+def _gram_wide_sharded(img: jnp.ndarray, p: int, impl: str = "xla",
+                       ext2h: jnp.ndarray | None = None):
     """Global wide-window Rx/rx via per-shard lag partials + psum and the
     vectorized assembly (returns the REPLICATED global Gram terms).
 
@@ -154,6 +155,10 @@ def _gram_wide_sharded(img: jnp.ndarray, p: int, impl: str = "xla"):
     exchanged halo rows are spliced into the kernel's padding region, the
     kernel's own bottom-row masking keeps every center counted exactly
     once, and the same psum + boundary-bank assembly follows.
+
+    ``ext2h`` optionally provides the 2h-row-exchanged shard (callers
+    that already exchanged a >= 2h halo for their tail kernels slice it
+    down and pass it in, saving a second ppermute round per step).
     """
     from ..ops.me import lag_partials
     from ..ops.pallas.me_gram_wide import _assemble_wide
@@ -164,6 +169,8 @@ def _gram_wide_sharded(img: jnp.ndarray, p: int, impl: str = "xla"):
     n = lax.axis_size(SPACE_AXIS)
     idx = lax.axis_index(SPACE_AXIS)
     rows = n * h_local
+    if ext2h is None:
+        ext2h = exchange_row_halo(img, 2 * h)
 
     if impl == "pallas":
         from ..ops.pallas.me_gram_wide import (wide_gram_geometry,
@@ -171,14 +178,13 @@ def _gram_wide_sharded(img: jnp.ndarray, p: int, impl: str = "xla"):
                                                wide_pad)
         pad = wide_pad(p)
         strip, rows_padded = wide_gram_geometry(h_local, cols, p)
-        img_p = _flatten_batch(_splice_pad(
-            exchange_row_halo(img, 2 * h), 2 * h, h_local, pad, rows_padded))
+        img_p = _flatten_batch(_splice_pad(ext2h, 2 * h, h_local, pad,
+                                           rows_padded))
         partials = wide_gram_partials_padded(img_p, h_local, cols, pad,
                                              strip, rows_padded, p)
     else:
-        ext = exchange_row_halo(img, 2 * h)
-        widths = [(0, 0)] * (ext.ndim - 2) + [(0, 0), (3 * h, 3 * h)]
-        ext = jnp.pad(ext, widths, mode="edge")
+        widths = [(0, 0)] * (ext2h.ndim - 2) + [(0, 0), (3 * h, 3 * h)]
+        ext = jnp.pad(ext2h, widths, mode="edge")
         flat = ext.reshape((-1,) + ext.shape[-2:])
         partials = lag_partials(flat, h_local, cols, p, row0=2 * h,
                                 col0=2 * h)
@@ -215,27 +221,29 @@ def wide_shard_supported(local_rows: int, global_rows: int, cols: int,
     tails) run per shard at this geometry?
 
     Mirrors the single-chip envelope (``pipelines._wide_me_fallback``):
-    the assembly's lag windows need 6h global rows/cols, the boundary
-    banks and 2h halo exchange need 3h local rows, and both kernels'
-    minimum 8-row strips must fit their VMEM budgets at this width.
-    Outside the envelope the shard functions degrade to the XLA shard
-    implementation (same numerics, psum'd pair-window Gram terms).
+    ``wide_gram_supported`` at the GLOBAL geometry (the assembly's lag
+    windows and the Gram kernel's min-strip VMEM fit), plus 3h local rows
+    for the boundary banks / 2h halo exchange and the tail kernels' width
+    budget. Outside the envelope the shard functions degrade to the XLA
+    shard implementation (same numerics, psum'd pair-window Gram terms).
     """
     from ..ops.pallas.fused import max_supported_cols
-    from ..ops.pallas.me_gram_wide import BUDGET, wide_pad
+    from ..ops.pallas.me_gram_wide import wide_gram_supported
 
-    h, pad = p // 2, wide_pad(p)
-    return (p in (5, 7, 9)
+    h = p // 2
+    return (wide_gram_supported(global_rows, cols, p)
             and local_rows >= 3 * h
-            and global_rows >= 6 * h and cols >= 6 * h
-            and (8 + 2 * pad) * (cols + 2 * pad) <= BUDGET
             and cols <= max_supported_cols("me", p))
 
 
-def _wide_gram_psum_pallas(img: jnp.ndarray, p: int):
+def _wide_gram_psum_pallas(img: jnp.ndarray, p: int,
+                           ext2h: jnp.ndarray | None = None):
     """(coefficients (B, k), valid (B,)) for the generalized window via
-    per-shard wide-kernel lag partials + psum (B = flattened batch)."""
-    rx_matrix, rx_vector = _gram_wide_sharded(img, p, impl="pallas")
+    per-shard wide-kernel lag partials + psum (B = flattened batch).
+    ``ext2h``: optional pre-exchanged 2h-halo shard (see
+    ``_gram_wide_sharded``)."""
+    rx_matrix, rx_vector = _gram_wide_sharded(img, p, impl="pallas",
+                                              ext2h=ext2h)
     k = p * p - 1
     return solve_coefficients_spd_vec(rx_matrix.reshape((-1, k, k)),
                                       rx_vector.reshape((-1, k)))
@@ -278,6 +286,24 @@ def _predict_local(img: jnp.ndarray, coefficients: jnp.ndarray,
     return predict_from_padded(_extend(img, p // 2), img, coefficients, p)
 
 
+def _analysis_and_mask(img: jnp.ndarray, mask_type: str, p: int):
+    """Shared XLA-shard analysis: (pred_p, coefficients, valid, e_z, mask).
+
+    One definition serves detection AND identification so the two can
+    never disagree on the analysis/mask semantics (predictor window,
+    pmax'd ME normalization, NVF variance window)."""
+    pred_p = p if mask_type == "me" else 3
+    coefficients, valid = _analysis_local(img, pred_p)
+    e_z = img - _predict_local(img, coefficients, pred_p)
+    if mask_type == "me":
+        abs_err = jnp.abs(e_z)
+        local_max = jnp.max(abs_err, axis=(-2, -1), keepdims=True)
+        mask = abs_err / lax.pmax(local_max, SPACE_AXIS)
+    else:
+        mask = _nvf_local(img, p)
+    return pred_p, coefficients, valid, e_z, mask
+
+
 def _detect_shard_pallas(img: jnp.ndarray, watermark: jnp.ndarray,
                          mask_type: str, p: int) -> jnp.ndarray:
     """Per-shard fused Gram + detect tail; psum'd correlation reductions.
@@ -303,13 +329,15 @@ def _detect_shard_pallas(img: jnp.ndarray, watermark: jnp.ndarray,
     halo = stencil_reach(mask_type, p)
     ring = (p if mask_type == "me" else 3) // 2   # u ring depth
 
-    img_p3 = _flatten_batch(
-        _splice_pad(exchange_row_halo(img, halo), halo, h, pad, rows_padded))
+    ext = exchange_row_halo(img, halo)
+    img_p3 = _flatten_batch(_splice_pad(ext, halo, h, pad, rows_padded))
     wm_p = _splice_pad(exchange_row_halo(watermark, ring), ring, h, pad,
                        rows_padded)
 
     if mask_type == "me" and p != 3:
-        coefficients, valid = _wide_gram_psum_pallas(img, p)
+        # the tail's halo IS the wide Gram's 2h halo (stencil_reach at
+        # me): reuse the exchange, saving a ppermute round per step
+        coefficients, valid = _wide_gram_psum_pallas(img, p, ext2h=ext)
     else:
         coefficients, valid = _gram_psum(img_p3, h, w, pad, strip,
                                          rows_padded)
@@ -342,17 +370,8 @@ def _detect_shard(img: jnp.ndarray, watermark: jnp.ndarray, mask_type: str,
                   p: int, impl: str = "xla") -> jnp.ndarray:
     if _use_pallas_shard(img, mask_type, p, impl):
         return _detect_shard_pallas(img, watermark, mask_type, p)
-    # predictor window: p for the generalized ME mask, the reference's
-    # fixed 3x3 for NVF detection (p sizes only the variance window)
-    pred_p = p if mask_type == "me" else 3
-    coefficients, valid = _analysis_local(img, pred_p)
-    e_z = img - _predict_local(img, coefficients, pred_p)
-    if mask_type == "me":
-        abs_err = jnp.abs(e_z)
-        local_max = jnp.max(abs_err, axis=(-2, -1), keepdims=True)
-        mask = abs_err / lax.pmax(local_max, SPACE_AXIS)
-    else:
-        mask = _nvf_local(img, p)
+    pred_p, coefficients, valid, e_z, mask = _analysis_and_mask(
+        img, mask_type, p)
     u = mask * watermark
     e_u = u - _predict_local(u, coefficients, pred_p)
     dot = lax.psum(jnp.sum(e_u * e_z, axis=(-2, -1)), SPACE_AXIS)
@@ -373,6 +392,7 @@ def _detect_many_shard_pallas(img: jnp.ndarray, watermarks: jnp.ndarray,
                                     stencil_reach)
 
     h, w = img.shape[-2:]
+    batch_shape = img.shape[:-2]
     n_dev = lax.axis_size(SPACE_AXIS)
     idx = lax.axis_index(SPACE_AXIS)
     n = watermarks.shape[0]
@@ -380,8 +400,8 @@ def _detect_many_shard_pallas(img: jnp.ndarray, watermarks: jnp.ndarray,
     halo = stencil_reach(mask_type, p)
     ring = (p if mask_type == "me" else 3) // 2
 
-    img_p = _splice_pad(exchange_row_halo(img, halo), halo, h, pad,
-                        rows_padded)[None]
+    ext = exchange_row_halo(img, halo)
+    img_p = _flatten_batch(_splice_pad(ext, halo, h, pad, rows_padded))
     n_pad = (n + nc - 1) // nc * nc
     wms = watermarks if n_pad == n else jnp.concatenate(
         [watermarks,
@@ -390,7 +410,9 @@ def _detect_many_shard_pallas(img: jnp.ndarray, watermarks: jnp.ndarray,
                        rows_padded)
 
     if mask_type == "me" and p != 3:
-        coefficients, valid = _wide_gram_psum_pallas(img, p)
+        # stencil_reach at me == the wide Gram's 2h halo: reuse the
+        # exchange (see _detect_shard_pallas)
+        coefficients, valid = _wide_gram_psum_pallas(img, p, ext2h=ext)
     else:
         # the chunk splice works for the p=3 Gram kernel too: its lag
         # reach is 2 rows and halo = stencil_reach >= 2 at every p
@@ -403,15 +425,18 @@ def _detect_many_shard_pallas(img: jnp.ndarray, watermarks: jnp.ndarray,
     dot = lax.psum(dot, SPACE_AXIS)
     norm_u = lax.psum(norm_u, SPACE_AXIS)
     norm_z = lax.psum(norm_z, SPACE_AXIS)
-    corr = dot[0, :n] / jnp.sqrt(norm_u[0, :n] * norm_z[0])
-    return jnp.where(valid[0], corr, 0.0)
+    corr = dot[:, :n] / jnp.sqrt(norm_u[:, :n] * norm_z[:, None])
+    corr = jnp.where(valid[:, None], corr, 0.0)
+    return corr.reshape(batch_shape + (n,))
 
 
 def _detect_many_shard(img: jnp.ndarray, watermarks: jnp.ndarray,
                        mask_type: str, p: int,
                        impl: str = "xla") -> jnp.ndarray:
-    """Watermark identification per shard: (h_local, W) image rows x
-    (N_local, h_local, W) candidate rows -> (N_local,) correlations.
+    """Watermark identification per shard: (..., h_local, W) image rows x
+    (N_local, h_local, W) candidate rows -> (..., N_local) correlations
+    (batch-polymorphic over the image's leading dims, like every shard
+    function here).
 
     The image analysis (Gram psum, replicated solve, error sequence,
     mask) is computed once per shard and shared across the shard's
@@ -427,25 +452,20 @@ def _detect_many_shard(img: jnp.ndarray, watermarks: jnp.ndarray,
         if detect_many_supported(watermarks.shape[0], img.shape[-2],
                                  img.shape[-1], mask_type, p):
             return _detect_many_shard_pallas(img, watermarks, mask_type, p)
-    pred_p = p if mask_type == "me" else 3
-    coefficients, valid = _analysis_local(img, pred_p)
-    e_z = img - _predict_local(img, coefficients, pred_p)
-    if mask_type == "me":
-        abs_err = jnp.abs(e_z)
-        local_max = jnp.max(abs_err, axis=(-2, -1), keepdims=True)
-        mask = abs_err / lax.pmax(local_max, SPACE_AXIS)
-    else:
-        mask = _nvf_local(img, p)
-    u = mask[None] * watermarks                       # (N_local, h, W)
+    pred_p, coefficients, valid, e_z, mask = _analysis_and_mask(
+        img, mask_type, p)
+    u = mask[..., None, :, :] * watermarks          # (..., N_local, h, W)
     n = watermarks.shape[0]
-    coeffs_n = jnp.broadcast_to(coefficients[None],
-                                (n,) + coefficients.shape)
+    coeffs_n = jnp.broadcast_to(
+        coefficients[..., None, :],
+        coefficients.shape[:-1] + (n, coefficients.shape[-1]))
     e_u = u - _predict_local(u, coeffs_n, pred_p)
-    dot = lax.psum(jnp.sum(e_u * e_z[None], axis=(-2, -1)), SPACE_AXIS)
+    dot = lax.psum(jnp.sum(e_u * e_z[..., None, :, :], axis=(-2, -1)),
+                   SPACE_AXIS)
     norm_u = lax.psum(jnp.sum(e_u * e_u, axis=(-2, -1)), SPACE_AXIS)
     norm_z = lax.psum(jnp.sum(e_z * e_z, axis=(-2, -1)), SPACE_AXIS)
-    corr = dot / jnp.sqrt(norm_u * norm_z)
-    return jnp.where(valid, corr, 0.0)
+    corr = dot / jnp.sqrt(norm_u * norm_z[..., None])
+    return jnp.where(valid[..., None], corr, 0.0)
 
 
 def _embed_shard_pallas(img: jnp.ndarray, output: jnp.ndarray,
@@ -462,16 +482,20 @@ def _embed_shard_pallas(img: jnp.ndarray, output: jnp.ndarray,
     pad, strip, rows_padded = pipeline_geometry(h, w, mask_type, p)
     # the embed field reads +/-(p//2) rows (the ME error's taps / the NVF
     # variance window); the p=3 ME analysis Gram additionally needs the
-    # +/-1 seam rows (the wide Gram exchanges its own 2h halo)
-    halo = max(1, p // 2)
+    # +/-1 seam rows. The wide Gram needs 2h: exchange that once and give
+    # the field its p//2-halo slice, saving a ppermute round per step
+    half = max(1, p // 2)
+    wide = mask_type == "me" and p != 3
+    ext2h = exchange_row_halo(img, 2 * half) if wide else None
+    ext = (ext2h[..., half:-half, :] if wide
+           else exchange_row_halo(img, half))
 
-    img_p3 = _flatten_batch(
-        _splice_pad(exchange_row_halo(img, halo), halo, h, pad, rows_padded))
+    img_p3 = _flatten_batch(_splice_pad(ext, half, h, pad, rows_padded))
     wm_p = pad_image(watermark, pad, rows_padded)   # center rows only
 
     nb = img_p3.shape[0]
-    if mask_type == "me" and p != 3:
-        coefficients, valid = _wide_gram_psum_pallas(img, p)
+    if wide:
+        coefficients, valid = _wide_gram_psum_pallas(img, p, ext2h=ext2h)
     elif mask_type == "me":
         coefficients, valid = _gram_psum(img_p3, h, w, pad, strip,
                                          rows_padded)
