@@ -263,3 +263,38 @@ def test_spatial_mesh_serving_wide_me(rng, frames):
     # sharded vs single-device fused wide path: f32 reduction-order noise
     # amplified by the documented ME conditioning class
     np.testing.assert_allclose(got, direct, atol=1e-3)
+
+
+def test_service_stats(engine, frames):
+    """Lifetime counters and queue depths: 11 frames through batch_size=4
+    -> >= 3 dispatches, all completed, none failed, fill <= 1."""
+    service = DetectorService(engine, batch_size=4)
+    try:
+        assert service.stats()["submitted"] == 0
+        futures = [service.submit(f) for f in frames]
+        [f.result(timeout=60) for f in futures]
+        stats = service.stats()
+    finally:
+        service.close()
+    assert stats["submitted"] == 11
+    assert stats["completed"] == 11
+    assert stats["failed"] == 0
+    assert stats["batches"] >= 3
+    assert 0 < stats["mean_batch_fill"] <= 1.0
+    assert stats["queued"] == 0
+
+
+def test_service_stats_counts_failures(engine):
+    """A shape error fails the whole batch and shows up in the counters."""
+    service = DetectorService(engine, batch_size=2, flush_timeout=0.05)
+    try:
+        bad = [service.submit(np.zeros((7, 9), np.float32))
+               for _ in range(2)]
+        for f in bad:
+            with pytest.raises(Exception):
+                f.result(timeout=60)
+        stats = service.stats()
+    finally:
+        service.close()
+    assert stats["failed"] == 2
+    assert stats["completed"] == 0

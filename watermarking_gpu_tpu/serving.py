@@ -69,6 +69,12 @@ class _BatchingService:
         self._submissions: queue.Queue = queue.Queue(
             maxsize=max_queued if max_queued else 0)
         self._inflight: queue.Queue = queue.Queue(maxsize=max_inflight)
+        self._stats_lock = threading.Lock()
+        self._submitted = 0
+        self._completed = 0
+        self._failed = 0
+        self._batches = 0
+        self._batched_frames = 0
         self._closed = False
         # guards _closed vs submissions: a submit racing close() must not
         # enqueue after the None sentinel (its future would never resolve)
@@ -131,7 +137,12 @@ class _BatchingService:
         except Exception as exc:  # trace/shape errors must not hang callers
             for future in futures:
                 future.set_exception(exc)
+            with self._stats_lock:
+                self._failed += real
             return
+        with self._stats_lock:
+            self._batches += 1
+            self._batched_frames += real
         self._inflight.put((futures, device_result, real))
 
     def _collect_loop(self):
@@ -147,9 +158,13 @@ class _BatchingService:
             except Exception as exc:  # propagate device errors to callers
                 for future in futures:
                     future.set_exception(exc)
+                with self._stats_lock:
+                    self._failed += real
                 continue
             for index, future in enumerate(futures[:real]):
                 self._resolve(future, host, index)
+            with self._stats_lock:
+                self._completed += real
 
     # -- public -------------------------------------------------------------
 
@@ -190,7 +205,30 @@ class _BatchingService:
             # the lock, which simply extends the backpressure to other
             # producers and makes close() wait its turn
             self._submissions.put((future, frame), timeout=timeout)
+        with self._stats_lock:
+            self._submitted += 1
         return future
+
+    def stats(self) -> dict:
+        """Observability snapshot: lifetime counters + instantaneous queue
+        depths. ``mean_batch_fill`` is the achieved batching efficiency
+        (1.0 = every dispatch full; low values under sparse traffic mean
+        the ``flush_timeout`` flushes partial batches — padding still
+        reuses the one compiled shape, but device time is spent on pad
+        frames)."""
+        with self._stats_lock:
+            batches = self._batches
+            return {
+                "submitted": self._submitted,
+                "completed": self._completed,
+                "failed": self._failed,
+                "batches": batches,
+                "mean_batch_fill": (self._batched_frames
+                                    / (batches * self.batch_size)
+                                    if batches else 0.0),
+                "queued": self._submissions.qsize(),
+                "inflight_batches": self._inflight.qsize(),
+            }
 
     def close(self):
         with self._close_lock:
