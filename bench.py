@@ -49,6 +49,38 @@ TARGET_FPS = 1000.0  # BASELINE.md north star
 SAMPLE_1080P = "/root/reference/Watermark_GPU/samples/images/1080p.png"
 
 
+def _probe_devices(timeout_s: float = 180.0) -> None:
+    """Fail fast when the device backend is unreachable.
+
+    On this harness the TPU sits behind a network tunnel; when it is down,
+    backend discovery blocks indefinitely inside the plugin rather than
+    raising. Probe it on a side thread and emit one diagnostic JSON line
+    (still machine-parseable) + exit 2 instead of hanging the driver.
+    """
+    import threading
+
+    holder: dict = {}
+
+    def probe():
+        try:
+            holder["n"] = len(jax.devices())
+        except Exception as exc:  # backend raised cleanly
+            holder["error"] = repr(exc)
+
+    thread = threading.Thread(target=probe, daemon=True)
+    thread.start()
+    thread.join(timeout_s)
+    if "n" in holder:
+        return
+    reason = holder.get(
+        "error", f"device discovery timed out after {timeout_s:.0f}s "
+                 f"(TPU tunnel down?)")
+    print(json.dumps({"metric": "embed_detect_1080p_me", "value": None,
+                      "unit": "fps", "vs_baseline": None, "error": reason}),
+          flush=True)
+    os._exit(2)
+
+
 def load_frames() -> np.ndarray:
     if os.path.exists(SAMPLE_1080P):
         base = load_image_gray(SAMPLE_1080P)
@@ -76,6 +108,7 @@ def main() -> int:
                              "wall time")
     args = parser.parse_args()
     BATCH = args.batch
+    _probe_devices()
     if args.cache_dir != "":
         from watermarking_gpu_tpu.utils import (default_cache_dir,
                                                 enable_compilation_cache)
