@@ -370,6 +370,8 @@ def main():
                         help="persistent compile cache ('' disables; "
                              "default: per-user temp dir)")
     args = parser.parse_args()
+    from bench import _probe_devices
+    _probe_devices()   # fail fast (one diagnostic line) if the tunnel hangs
     if args.cache_dir != "":
         from watermarking_gpu_tpu.utils import (default_cache_dir,
                                                 enable_compilation_cache)
