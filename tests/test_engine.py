@@ -1,8 +1,11 @@
 """Engine-level tests: embed -> detect round trips and the detector contract."""
 
+from functools import partial
+
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from watermarking_gpu_tpu import MaskType, Watermark
@@ -284,6 +287,65 @@ def test_detect_many_chunks_candidate_axis(small_image, rng, monkeypatch):
     got = np.asarray(eng.detect_many(stack, cands))
     assert got.shape == (2, 7)
     np.testing.assert_allclose(got[0], full, atol=1e-6)
+
+
+def test_detect_many_wide_me_downgrades_instead_of_raising(rng):
+    """ME p=9 at 1080p-class widths: the chunked kernel's VMEM gate fails
+    AND the strip predict kernel cannot fit the width, so the non-fused
+    branch must downgrade to the XLA formulation instead of letting
+    prediction_error_pallas raise (r3 advisor high finding). Trace-only
+    at the true 1080p geometry; numeric parity at a short-row variant."""
+    from watermarking_gpu_tpu.ops.pallas.fused import detect_many_supported
+    from watermarking_gpu_tpu.ops.pallas.predict_kernel import \
+        predict_supported
+    from watermarking_gpu_tpu.ops.pipelines import detect_many_pipeline
+
+    assert not detect_many_supported(4, 1080, 1920, "me", 9)
+    assert not predict_supported(1920, 9)
+    out = jax.eval_shape(
+        partial(detect_many_pipeline, mask_type="me", p=9, impl="pallas"),
+        jax.ShapeDtypeStruct((1080, 1920), jnp.float32),
+        jax.ShapeDtypeStruct((4, 1080, 1920), jnp.float32))
+    assert out.shape == (4,)
+
+    h, w = 48, 1536            # same routing, cheap enough to execute
+    assert not detect_many_supported(8, h, w, "me", 9)
+    assert not predict_supported(w, 9)
+    img = rng.normal(120.0, 30.0, size=(h, w)).astype(np.float32)
+    wms = rng.normal(size=(8, h, w)).astype(np.float32)
+    got = np.asarray(detect_many_pipeline(
+        jnp.asarray(img), jnp.asarray(wms), "me", p=9, impl="pallas"))
+    want = np.asarray(detect_many_pipeline(
+        jnp.asarray(img), jnp.asarray(wms), "me", p=9, impl="xla"))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_detect_many_chunk_budget_uses_fallback_estimate(rng, monkeypatch):
+    """Where the fused multi-candidate kernel will NOT run (its VMEM gate
+    fails), the HBM chunk budget must size chunks by the XLA formulation's
+    (B*chunk, H, W) u/e_u buffers — not the fused kernel's small
+    per-candidate estimate (r3 advisor medium finding)."""
+    import watermarking_gpu_tpu.models.watermark as wm_mod
+
+    h, w = 64, 1536            # ME p=9: fused unsupported at this width
+    seen = []
+
+    def stub_pipeline(image, watermarks, mask_type, p, impl):
+        seen.append((watermarks.shape[0], impl))
+        lead = image.shape[:-2]
+        return jnp.zeros(lead + (watermarks.shape[0],), jnp.float32)
+
+    monkeypatch.setattr(wm_mod, "detect_many_pipeline", stub_pipeline)
+    # bypass jit so the stub records every dispatch, not just the trace
+    monkeypatch.setattr(wm_mod, "pinned_jit", lambda f, **kw: f)
+    budget = 6 * 2 * h * w * 4   # 6 xla-estimate candidates per chunk
+    monkeypatch.setattr(Watermark, "_DETECT_MANY_BUDGET_BYTES", budget)
+    eng = Watermark(h, w, 7, p=9, psnr=40.0, impl="pallas")
+    cands = rng.normal(size=(12, h, w)).astype(np.float32)
+    eng.detect_many(np.zeros((h, w), np.float32), cands)
+    # fused estimate (1.3*H*W*4/candidate) would put all 12 in one chunk;
+    # the XLA estimate must split into 6-candidate chunks
+    assert [n for n, _ in seen] == [6, 6]
 
 
 def test_nvf_constant_image_keeps_psnr():

@@ -256,9 +256,20 @@ class Watermark:
             self._fn_cache[key] = fn
         image = as_device_input(image)
         batch = image.shape[0] if image.ndim == 3 else 1
+        n = watermarks.shape[0]
         from ..ops.pipelines import _wide_me_fallback
-        if impl == "pallas" and not _wide_me_fallback(image, mask_type.value,
-                                                      self.p):
+        use_fused = impl == "pallas" and not _wide_me_fallback(
+            image, mask_type.value, self.p)
+        if use_fused:
+            # the pipeline additionally gates on the chunked kernel's own
+            # VMEM fit; where that fails it runs the XLA formulation, whose
+            # (B*chunk, H, W) u/e_u buffers must size the chunk (a chunk
+            # sized for the fused kernel would be ~2*batch times over the
+            # HBM budget, e.g. ME p=7 at 1080p)
+            from ..ops.pallas.fused import detect_many_supported
+            use_fused = detect_many_supported(n, self.rows, self.cols,
+                                              mask_type.value, self.p)
+        if use_fused:
             # fused multi-candidate kernel: no (B*N, H, W) u/e_u buffers —
             # the dominant HBM cost is the padded candidate bank itself
             # (~1.3x for the halo pad), so candidate chunks can be ~2B/batch
@@ -267,7 +278,6 @@ class Watermark:
         else:
             per_candidate = 2 * batch * self.rows * self.cols * 4  # u + e_u
         chunk = max(1, self._DETECT_MANY_BUDGET_BYTES // per_candidate)
-        n = watermarks.shape[0]
         if chunk >= n:
             return fn(image, watermarks)
         parts = [fn(image, watermarks[start:start + chunk])

@@ -28,6 +28,25 @@ from .common import interpret_mode, pad_image, pick_strip, pick_strip_for_width
 PAD = 4
 
 
+def predict_budget(p: int) -> int:
+    """Width-adaptive VMEM budget (f32 elements) for the strip kernel.
+
+    The kernel's live temporaries scale with the tap count (each shifted
+    plane is a strip-sized buffer), so wider windows shrink the budget to
+    stay inside the 16 MB scoped-vmem stack (1080p p=5 measured 17.45M at
+    the p=3 budget)."""
+    return 240_000 * 8 // (p * p - 1)   # == 240_000 at p=3
+
+
+def predict_supported(cols: int, p: int = 3) -> bool:
+    """Can the strip kernel run at this width? The minimum 8-row strip
+    (plus halos) must fit the p-scaled VMEM budget; callers outside the
+    envelope (``pipelines.detect_many_pipeline``'s non-fused branch) run
+    the XLA formulation instead."""
+    return (p // 2 <= PAD
+            and (8 + 2 * PAD) * (cols + 2 * PAD) <= predict_budget(p))
+
+
 def _predict_error_kernel(coeffs_ref, pin, pout, *, pad: int, strip: int,
                           width: int, p: int):
     ext = pin[0]
@@ -54,11 +73,7 @@ def prediction_error_pallas(image: jnp.ndarray, coefficients: jnp.ndarray,
         coefficients = coefficients[None]
     batch, rows, cols = image.shape
     if strip is None:
-        # width-adaptive VMEM budget; the kernel's live temporaries scale
-        # with the tap count (each shifted plane is a strip-sized buffer),
-        # so wider windows shrink the strip to stay inside the 16 MB
-        # scoped-vmem stack (1080p p=5 measured 17.45M at the p=3 budget)
-        budget = 240_000 * 8 // (p * p - 1)   # == 240_000 at p=3
+        budget = predict_budget(p)
         strip, rows_padded = pick_strip_for_width(rows, cols, budget, PAD)
         if (strip + 2 * PAD) * (cols + 2 * PAD) > budget:
             # pick_strip_for_width clamps to the 8-row minimum strip; at
@@ -69,8 +84,8 @@ def prediction_error_pallas(image: jnp.ndarray, coefficients: jnp.ndarray,
             raise ValueError(
                 f"prediction_error_pallas: width {cols} at p={p} exceeds "
                 f"the VMEM strip budget ({budget} elems); use impl='xla' "
-                f"for this geometry (engines do so by default via "
-                f"Watermark._impl_for)")
+                f"for this geometry (pipeline call sites gate on "
+                f"predict_supported and downgrade automatically)")
     else:
         strip, rows_padded = pick_strip(rows, strip)
     padded = pad_image(image, PAD, rows_padded)

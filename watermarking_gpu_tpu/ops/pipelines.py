@@ -385,6 +385,16 @@ def detect_many_pipeline(image: jnp.ndarray, watermarks: jnp.ndarray,
         corr = dot / jnp.sqrt(norm_u * norm_z[:, None])
         corr = jnp.where(valid[:, None], corr, 0.0)
         return corr.reshape(batch_shape + (n,))
+    if impl == "pallas":
+        # non-fused branch (chunked kernel unsupported at this geometry,
+        # or tiny wide-ME frames): the strip predict kernel's p-scaled
+        # VMEM budget must fit the width, else run the whole shared-
+        # analysis formulation in XLA — the same downgrade the embed/
+        # detect pipelines make, instead of letting
+        # prediction_error_pallas raise (e.g. ME p=9 at 1080p widths)
+        from .pallas.predict_kernel import predict_supported
+        if not predict_supported(cols, pred_p):
+            impl = "xla"
     coefficients, valid = _analysis(image, impl, pred_p)
     e_z = _prediction_error(image, coefficients, impl, pred_p)
     if mask_type == "me":
