@@ -216,6 +216,71 @@ def test_submission_backpressure(engine):
         service.close()
 
 
+def test_close_completes_with_wedged_device(engine):
+    """A device that never answers (the documented TPU-tunnel hang) must
+    not turn close() into a deadlock: with the submission queue FULL
+    behind a stuck batch, a timed close() returns, every outstanding
+    future resolves (exceptionally), and late producers get the closed
+    error — no caller hangs forever (r3 VERDICT item 5)."""
+    import threading
+    import time
+
+    release = threading.Event()
+
+    class WedgedEngine:
+        rows, cols = engine.rows, engine.cols
+        random_matrix = engine.random_matrix
+
+        def detect(self, stack, mask_type):
+            release.wait(timeout=60)   # "never" returns (test-bounded)
+            return np.zeros(stack.shape[0], np.float32)
+
+    frame = np.zeros((engine.rows, engine.cols), np.float32)
+    service = DetectorService(WedgedEngine(), batch_size=1, max_inflight=1,
+                              flush_timeout=0.001, max_queued=2)
+    try:
+        futures = [service.submit(frame)]      # dispatched, engine wedges
+        time.sleep(0.05)
+        futures += [service.submit(frame) for _ in range(2)]  # queue full
+        # a producer parked at the full queue must unblock on close()
+        blocked_err = []
+
+        def producer():
+            try:
+                service.submit(frame)
+            except Exception as exc:
+                blocked_err.append(exc)
+
+        thread = threading.Thread(target=producer)
+        thread.start()
+        time.sleep(0.05)
+        assert thread.is_alive()               # parked: queue still full
+
+        closed = []
+        closer = threading.Thread(
+            target=lambda: closed.append(service.close(timeout=1.0)))
+        closer.start()
+        closer.join(timeout=30)
+        assert not closer.is_alive()           # close() returned
+        assert closed == [False]               # ... reporting a dirty stop
+        thread.join(timeout=30)
+        assert not thread.is_alive()
+        assert len(blocked_err) == 1 and isinstance(blocked_err[0],
+                                                    RuntimeError)
+        for f in futures:                      # all resolve, exceptionally
+            with pytest.raises(RuntimeError, match="unresponsive"):
+                f.result(timeout=30)
+        assert service.stats()["failed"] >= 3
+        with pytest.raises(RuntimeError):      # closed to new traffic
+            service.submit(frame)
+    finally:
+        release.set()                          # let the worker threads exit
+        service._dispatcher.join(timeout=90)
+        service._collector.join(timeout=90)
+        assert not service._dispatcher.is_alive()
+        assert not service._collector.is_alive()
+
+
 def test_spatial_mesh_serving_matches_single(engine, frames):
     """Services over a hybrid DP x SP mesh (frames row-sharded across the
     space axis — the path for frames too large for one chip): results

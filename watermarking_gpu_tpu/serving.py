@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import Future
+import time
+from concurrent.futures import Future, InvalidStateError
 
 import numpy as np
 
@@ -66,8 +67,15 @@ class _BatchingService:
                                                       engine.random_matrix)
             else:
                 self._wm_replicated = replicate(mesh, engine.random_matrix)
-        self._submissions: queue.Queue = queue.Queue(
-            maxsize=max_queued if max_queued else 0)
+        # The storage queue is UNBOUNDED; ``max_queued`` is enforced by a
+        # counter under ``_close_lock`` instead of the queue's own bound.
+        # This keeps two deadlocks structurally impossible: no producer
+        # ever blocks inside ``put`` while holding the close lock, and
+        # ``close()``'s sentinel put can never block behind a full queue
+        # even when the device is wedged.
+        self._submissions: queue.Queue = queue.Queue()
+        self._max_queued = max_queued if max_queued else None
+        self._queued = 0                       # guarded by _close_lock
         self._inflight: queue.Queue = queue.Queue(maxsize=max_inflight)
         self._stats_lock = threading.Lock()
         self._submitted = 0
@@ -75,6 +83,9 @@ class _BatchingService:
         self._failed = 0
         self._batches = 0
         self._batched_frames = 0
+        # unresolved futures (guarded by _stats_lock): lets a timed-out
+        # close() fail everything cleanly when the device never answers
+        self._pending: set[Future] = set()
         self._closed = False
         # guards _closed vs submissions: a submit racing close() must not
         # enqueue after the None sentinel (its future would never resolve)
@@ -105,6 +116,27 @@ class _BatchingService:
 
     # -- internals ----------------------------------------------------------
 
+    def _get_submission(self, timeout=None):
+        """Pop one submission, releasing its bounded-queue slot."""
+        item = self._submissions.get(timeout=timeout)   # queue.Empty flows up
+        if item is not None:
+            with self._close_lock:
+                self._queued -= 1
+        return item
+
+    def _finish(self, future: Future, value=None, exc=None):
+        """Resolve a future exactly once (a timed-out close() may have
+        force-failed it already; the late device answer is then dropped)."""
+        with self._stats_lock:
+            self._pending.discard(future)
+        try:
+            if exc is not None:
+                future.set_exception(exc)
+            else:
+                future.set_result(value)
+        except InvalidStateError:
+            pass
+
     def _dispatch_loop(self):
         while True:
             items = []
@@ -112,11 +144,13 @@ class _BatchingService:
             if item is None:
                 self._inflight.put(None)
                 return
+            with self._close_lock:
+                self._queued -= 1
             items.append(item)
             # opportunistically fill the batch, waiting briefly for stragglers
             while len(items) < self.batch_size:
                 try:
-                    nxt = self._submissions.get(timeout=self.flush_timeout)
+                    nxt = self._get_submission(timeout=self.flush_timeout)
                 except queue.Empty:
                     break
                 if nxt is None:
@@ -136,7 +170,7 @@ class _BatchingService:
             device_result = self._run_batch(stack)   # async dispatch
         except Exception as exc:  # trace/shape errors must not hang callers
             for future in futures:
-                future.set_exception(exc)
+                self._finish(future, exc=exc)
             with self._stats_lock:
                 self._failed += real
             return
@@ -157,7 +191,7 @@ class _BatchingService:
                          else (device_result,))]
             except Exception as exc:  # propagate device errors to callers
                 for future in futures:
-                    future.set_exception(exc)
+                    self._finish(future, exc=exc)
                 with self._stats_lock:
                     self._failed += real
                 continue
@@ -186,6 +220,8 @@ class _BatchingService:
                          else (result,)):
                 np.asarray(leaf)
 
+    _FULL_POLL_S = 0.005
+
     def submit(self, image: np.ndarray,
                timeout: float | None = None) -> Future:
         """Enqueue one frame; returns a Future.
@@ -193,21 +229,39 @@ class _BatchingService:
         When the bounded submission queue is full, blocks until the
         dispatcher frees a slot (backpressure) — or raises ``queue.Full``
         after ``timeout`` seconds if one is given (fail-fast mode for
-        latency-sensitive producers).
+        latency-sensitive producers). A producer waiting for capacity never
+        holds the close lock (it polls), so a stalled device can neither
+        serialize other submitters behind one blocked producer nor block
+        ``close()`` from shutting the service down; a submit parked at a
+        full queue observes ``close()`` within one poll interval and raises.
         """
         frame = np.ascontiguousarray(image)
-        with self._close_lock:
-            if self._closed:
-                raise RuntimeError("service is closed")
-            future: Future = Future()
-            # the put stays under the lock (a submit racing close() must
-            # not land after the None sentinel); a blocked producer holds
-            # the lock, which simply extends the backpressure to other
-            # producers and makes close() wait its turn
-            self._submissions.put((future, frame), timeout=timeout)
-        with self._stats_lock:
-            self._submitted += 1
-        return future
+        future: Future = Future()
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            with self._close_lock:
+                if self._closed:
+                    raise RuntimeError("service is closed")
+                if self._max_queued is None or self._queued < self._max_queued:
+                    self._queued += 1
+                    with self._stats_lock:
+                        self._submitted += 1
+                        self._pending.add(future)
+                    # the put stays under the lock: a submit racing close()
+                    # must not land after the None sentinel (the queue
+                    # itself is unbounded, so this never blocks)
+                    self._submissions.put((future, frame))
+                    return future
+            # full: wait OUTSIDE the lock, then re-check closed/capacity
+            if deadline is not None:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    raise queue.Full(
+                        f"submission queue full ({self._max_queued}) for "
+                        f"{timeout}s")
+                time.sleep(min(self._FULL_POLL_S, remaining))
+            else:
+                time.sleep(self._FULL_POLL_S)
 
     def stats(self) -> dict:
         """Observability snapshot: lifetime counters + instantaneous queue
@@ -230,16 +284,50 @@ class _BatchingService:
                 "inflight_batches": self._inflight.qsize(),
             }
 
-    def close(self):
+    def close(self, timeout: float | None = None) -> bool:
+        """Stop accepting submissions, drain pending work, stop the workers.
+
+        Graceful by default: already-queued frames are still dispatched and
+        resolved before the workers exit. Every closer (including
+        concurrent/repeated ones) blocks until the workers have fully
+        drained — a second close() returning early would let its caller
+        observe a "closed" service mid-dispatch.
+
+        ``timeout`` bounds the wait (seconds): if the workers have not
+        drained by then — e.g. the device is wedged mid-batch, the
+        documented TPU-tunnel hang — close() force-fails every unresolved
+        future (so no caller waits forever on a result that will never
+        come) and returns False. The worker threads are daemons parked on
+        the dead device call; they cannot be killed, only abandoned. A
+        late device answer to a force-failed future is dropped
+        (``_finish`` resolves exactly once). Returns True when the
+        service drained cleanly.
+        """
         with self._close_lock:
             if not self._closed:
                 self._closed = True
-                self._submissions.put(None)
-        # every closer (including concurrent/repeated ones) blocks until
-        # the workers have fully drained — a second close() returning early
-        # would let its caller observe a "closed" service mid-dispatch
-        self._dispatcher.join()
-        self._collector.join()
+                self._submissions.put(None)   # unbounded: never blocks
+        self._dispatcher.join(timeout)
+        self._collector.join(timeout)
+        if not (self._dispatcher.is_alive() or self._collector.is_alive()):
+            return True
+        # wedged device: fail everything still unresolved so no caller hangs
+        with self._stats_lock:
+            stuck = list(self._pending)
+            self._pending.clear()
+        exc = RuntimeError(
+            "service closed while the device was unresponsive; "
+            "the result was abandoned")
+        failed = 0
+        for future in stuck:
+            try:
+                future.set_exception(exc)
+                failed += 1
+            except InvalidStateError:   # resolved concurrently after all
+                pass
+        with self._stats_lock:
+            self._failed += failed
+        return False
 
 
 class DetectorService(_BatchingService):
@@ -277,7 +365,7 @@ class DetectorService(_BatchingService):
         return self.engine.detect(stack, self.mask_type)
 
     def _resolve(self, future, host, index):
-        future.set_result(float(host[0][index]))
+        self._finish(future, float(host[0][index]))
 
 
 class EmbedderService(_BatchingService):
@@ -317,4 +405,4 @@ class EmbedderService(_BatchingService):
         return self.engine.embed(stack, mask_type=self.mask_type)
 
     def _resolve(self, future, host, index):
-        future.set_result((host[0][index], float(host[1][index])))
+        self._finish(future, (host[0][index], float(host[1][index])))
