@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep the suite out of the pinned-program AOT side-cache (the cache tests
+# point it at tmp dirs explicitly via monkeypatch.setenv)
+os.environ.setdefault("WMTPU_PINNED_CACHE", "off")
 
 import jax  # noqa: E402
 

@@ -55,6 +55,65 @@ def test_one_entry_per_structure(rng):
     assert pinned._cache_size() == 3
 
 
+def test_pinned_aot_side_cache_reuses_executable(rng, tmp_path,
+                                                 monkeypatch):
+    """A second pinned_jit instance (a fresh process in miniature: the
+    in-memory cache is gone) must reuse the serialized AOT executable from
+    the side-cache instead of recompiling — the warm-start story pinned
+    programs lose by opting out of jax's persistent cache (r3 VERDICT
+    item 2). The reloaded executable's output layout tags must still be
+    the pinned row-major ones, and a cache entry whose tags came back
+    mangled must be discarded and recompiled."""
+    import watermarking_gpu_tpu.utils.layouts as layouts
+
+    monkeypatch.setenv("WMTPU_PINNED_CACHE", str(tmp_path))
+
+    def f(a, b):
+        return a @ b + 1.0
+
+    a = jnp.asarray(rng.normal(size=(48, 32)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(32, 24)).astype(np.float32))
+    want = np.asarray(jax.jit(f)(a, b))
+
+    events = []
+    real_load, real_store = layouts._aot_load, layouts._aot_store
+    monkeypatch.setattr(layouts, "_aot_load",
+                        lambda *args: events.append("load") or
+                        real_load(*args))
+    monkeypatch.setattr(layouts, "_aot_store",
+                        lambda *args: events.append("store") or
+                        real_store(*args))
+
+    got_cold = layouts.pinned_jit(f, force_pin=True)(a, b)
+    np.testing.assert_allclose(np.asarray(got_cold), want, rtol=1e-6)
+    assert events == ["store"]
+    files = list(tmp_path.glob("*.aot"))
+    assert len(files) == 1
+
+    got_warm = layouts.pinned_jit(f, force_pin=True)(a, b)   # new instance
+    np.testing.assert_allclose(np.asarray(got_warm), want, rtol=1e-6)
+    assert events == ["store", "load"]
+    # the reloaded program's result still carries the pinned row-major tag
+    assert tuple(got_warm.format.layout.major_to_minor) == (0, 1)
+
+    # corrupt entry: discarded, recompiled, rewritten — never trusted
+    files[0].write_bytes(b"not an executable")
+    got_bad = layouts.pinned_jit(f, force_pin=True)(a, b)
+    np.testing.assert_allclose(np.asarray(got_bad), want, rtol=1e-6)
+    assert events == ["store", "load", "load", "store"]
+
+
+def test_pinned_aot_side_cache_disable(rng, tmp_path, monkeypatch):
+    """WMTPU_PINNED_CACHE=off keeps pinned compiles fully in-process."""
+    import watermarking_gpu_tpu.utils.layouts as layouts
+
+    monkeypatch.setenv("WMTPU_PINNED_CACHE", "off")
+    assert layouts.pinned_cache_dir() is None
+    out = layouts.pinned_jit(lambda x: x * 3, force_pin=True)(
+        jnp.ones((8, 8), jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), 3.0)
+
+
 def test_uint8_roundtrip(rng):
     """u8 ingest arrays (the video path's transfer dtype) pin fine."""
     def f(u):

@@ -216,14 +216,18 @@ def test_spatial_embed_rgb_channels(frames, watermark32):
                                atol=2e-3)
 
 
-def test_halo_larger_than_shard_rejected(frames, watermark32):
-    """A halo that cannot come from immediate neighbors fails loudly."""
+def test_halo_larger_than_shard_multi_hops(frames, watermark32):
+    """A halo deeper than the local shard (NVF p=9 needs 5 rows on 4-row
+    shards) gathers whole neighbor blocks over multiple ppermute hops
+    instead of failing (pre-r4 this raised ValueError), and matches the
+    unsharded pipeline."""
     mesh = make_mesh(data=1, space=8)   # 4-row shards; NVF p=9 needs halo 5
     img = jnp.asarray(frames[0])
     wm = jnp.asarray(watermark32)
-    fn = make_spatial_detect(mesh, "nvf", p=9, impl="pallas")
-    with pytest.raises(ValueError, match="halo"):
-        fn(shard_rows(mesh, img), shard_rows(mesh, wm))
+    ref = detect_pipeline(img, wm, "nvf", p=9, impl="pallas")
+    got = make_spatial_detect(mesh, "nvf", p=9, impl="pallas")(
+        shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref), atol=1e-4)
 
 
 def test_generalized_me_dp_matches_single(frames, watermark32):
@@ -284,17 +288,78 @@ def test_generalized_me_spatial_pallas_matches_single(frames, watermark32,
 
 def test_generalized_me_spatial_pallas_degrades_outside_envelope(
         frames, watermark32):
-    """ME p=9 on 8-row shards (local rows < 3h = 12) is outside the wide
+    """ME p=9 on 4-row shards (local rows < 2h = 8) is outside the wide
     kernels' envelope: the shards degrade to the XLA implementation
     instead of failing, and still match the unsharded XLA pipeline."""
     from watermarking_gpu_tpu.parallel.spatial import wide_shard_supported
-    assert not wide_shard_supported(8, 32, 64, 9)
-    mesh = make_mesh(data=1, space=4)
+    assert not wide_shard_supported(4, 32, 64, 9)
+    mesh = make_mesh(data=1, space=8)
     img = jnp.asarray(frames[0])
     wm = jnp.asarray(watermark32)
     ref = detect_pipeline(img, wm, "me", p=9, impl="xla")
     got = make_spatial_detect(mesh, "me", p=9, impl="pallas")(
         shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref), atol=1e-5)
+
+
+def test_wide_me_spatial_pallas_2h_shards_match_single(frames, watermark32):
+    """ME p=9 on 8-row shards (local rows == 2h, < 3h): newly inside the
+    fused wide envelope — the wide Gram's boundary banks come from a
+    3h-row multi-hop halo exchange instead of requiring 3h local rows."""
+    from watermarking_gpu_tpu.parallel.spatial import wide_shard_supported
+    assert wide_shard_supported(8, 32, 64, 9)
+    mesh = make_mesh(data=1, space=4)
+    img = jnp.asarray(frames[0])
+    wm = jnp.asarray(watermark32)
+    ref = detect_pipeline(img, wm, "me", p=9, impl="pallas")
+    got = make_spatial_detect(mesh, "me", p=9, impl="pallas")(
+        shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got), float(ref), atol=1e-4)
+    ref_out, ref_s = embed_pipeline(img, img, wm, SF, "me", p=9,
+                                    impl="pallas")
+    got_out, got_s = make_spatial_embed(mesh, "me", SF, *img.shape, p=9,
+                                        impl="pallas")(
+        shard_rows(mesh, img), shard_rows(mesh, img), shard_rows(mesh, wm))
+    np.testing.assert_allclose(float(got_s), float(ref_s), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               atol=2e-3)
+
+
+def _count_eqns(jaxpr) -> int:
+    """Total equation count of a (Closed)Jaxpr including sub-jaxprs."""
+    if hasattr(jaxpr, "jaxpr"):
+        jaxpr = jaxpr.jaxpr
+    total = len(jaxpr.eqns)
+    for eqn in jaxpr.eqns:
+        for value in eqn.params.values():
+            items = value if isinstance(value, (list, tuple)) else [value]
+            for item in items:
+                if hasattr(item, "jaxpr") or hasattr(item, "eqns"):
+                    total += _count_eqns(item)
+    return total
+
+
+def test_degenerate_shard_wide_analysis_stays_vectorized(frames,
+                                                         watermark32):
+    """ME p=9 on 4-row shards (local rows < h = 4's multi-hop territory):
+    the XLA shard analysis must run the sharded VECTORIZED lag assembly —
+    never the O(pairs) per-pair formulation, whose p=9 form is ~13k
+    sibling ops and minutes of XLA compile (the r3 VERDICT's remaining
+    compile trap). Pinned by a trace-time op-count bound plus numeric
+    parity with the unsharded pipeline."""
+    mesh = make_mesh(data=1, space=8)
+    img = jnp.asarray(frames[0])        # 32 rows -> 4-row shards, 2h = 8
+    wm = jnp.asarray(watermark32)
+    fn = make_spatial_detect(mesh, "me", p=9, impl="xla")
+    jaxpr = jax.make_jaxpr(fn)(shard_rows(mesh, img), shard_rows(mesh, wm))
+    eqns = _count_eqns(jaxpr)
+    # vectorized assembly: O(lags) = 145 lags x ~45 ops each (~9k traced
+    # eqns, measured — the same order as the single-chip p=9 path, ~20 s
+    # of XLA compile); the O(pairs) trap is 3321 pairs x 4 boundary
+    # strips x ~2 ops >= 26k and minutes of compile
+    assert eqns < 13_000, f"shard analysis traced {eqns} eqns (O(pairs)?)"
+    ref = detect_pipeline(img, wm, "me", p=9, impl="xla")
+    got = fn(shard_rows(mesh, img), shard_rows(mesh, wm))
     np.testing.assert_allclose(float(got), float(ref), atol=1e-5)
 
 

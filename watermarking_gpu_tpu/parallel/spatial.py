@@ -55,24 +55,47 @@ def exchange_row_halo(x: jnp.ndarray, halo: int,
     Interior shard boundaries receive the true adjacent rows from mesh
     neighbors (ppermute); the global top/bottom replicate the edge row,
     matching the reference's CLAMP_TO_EDGE sampler.
+
+    A halo deeper than the local shard (degenerate shard heights, e.g. a
+    wide-window Gram's 2h lag reach on tiny shards) gathers whole neighbor
+    blocks over multiple ppermute hops — every shard geometry works; deep
+    halos just cost more ICI rounds.
     """
-    if halo > x.shape[-2]:
-        raise ValueError(
-            f"halo {halo} exceeds the {x.shape[-2]}-row shard; use fewer "
-            f"spatial shards for this image height")
     n = lax.axis_size(axis)
     idx = lax.axis_index(axis)
-    send_up = x[..., :halo, :]     # our top rows -> prev shard's bottom halo
-    send_down = x[..., -halo:, :]  # our bottom rows -> next shard's top halo
-    from_up = lax.ppermute(send_down, axis,
-                           [(i, i + 1) for i in range(n - 1)])
-    from_down = lax.ppermute(send_up, axis,
-                             [(i + 1, i) for i in range(n - 1)])
-    top_fill = jnp.repeat(x[..., :1, :], halo, axis=-2)
-    bottom_fill = jnp.repeat(x[..., -1:, :], halo, axis=-2)
-    top = jnp.where(idx == 0, top_fill, from_up)
-    bottom = jnp.where(idx == n - 1, bottom_fill, from_down)
-    return jnp.concatenate([top, x, bottom], axis=-2)
+    if halo <= x.shape[-2]:
+        send_up = x[..., :halo, :]     # top rows -> prev shard's bottom halo
+        send_down = x[..., -halo:, :]  # bottom rows -> next shard's top halo
+        from_up = lax.ppermute(send_down, axis,
+                               [(i, i + 1) for i in range(n - 1)])
+        from_down = lax.ppermute(send_up, axis,
+                                 [(i + 1, i) for i in range(n - 1)])
+        top_fill = jnp.repeat(x[..., :1, :], halo, axis=-2)
+        bottom_fill = jnp.repeat(x[..., -1:, :], halo, axis=-2)
+        top = jnp.where(idx == 0, top_fill, from_up)
+        bottom = jnp.where(idx == n - 1, bottom_fill, from_down)
+        return jnp.concatenate([top, x, bottom], axis=-2)
+
+    # multi-hop: gather the j-hop neighbors' whole blocks. Blocks past the
+    # mesh ends lie entirely outside the image, so they clamp to the global
+    # edge rows (psum-broadcast from the edge shards).
+    h_local = x.shape[-2]
+    hops = -(-halo // h_local)
+    zero_row = jnp.zeros_like(x[..., :1, :])
+    row0 = lax.psum(jnp.where(idx == 0, x[..., :1, :], zero_row), axis)
+    row_last = lax.psum(jnp.where(idx == n - 1, x[..., -1:, :], zero_row),
+                        axis)
+    tops, bottoms = [], []
+    for j in range(1, hops + 1):
+        from_up = lax.ppermute(x, axis, [(i, i + j) for i in range(n - j)])
+        from_down = lax.ppermute(x, axis, [(i + j, i) for i in range(n - j)])
+        tops.insert(0, jnp.where(idx - j >= 0, from_up,
+                                 jnp.broadcast_to(row0, x.shape)))
+        bottoms.append(jnp.where(idx + j <= n - 1, from_down,
+                                 jnp.broadcast_to(row_last, x.shape)))
+    ext = jnp.concatenate(tops + [x] + bottoms, axis=-2)
+    start = hops * h_local - halo
+    return ext[..., start:start + h_local + 2 * halo, :]
 
 
 def _extend(x: jnp.ndarray, halo: int) -> jnp.ndarray:
@@ -191,14 +214,28 @@ def _gram_wide_sharded(img: jnp.ndarray, p: int, impl: str = "xla",
     partials = lax.psum(partials, SPACE_AXIS)
 
     # boundary banks: global rows [-h, 3h) and [rows-h, rows+3h), clamped;
-    # contiguous block slices of the edge shards, psum-broadcast to all
+    # psum-broadcast to all shards from the edge shards that hold them
     imgf = img.reshape((-1, h_local, cols))
-    img_c = jnp.pad(imgf, [(0, 0), (0, 0), (3 * h, 3 * h)], mode="edge")
-    low = jnp.concatenate(
-        [jnp.repeat(img_c[:, :1], h, axis=1), img_c[:, :3 * h]], axis=1)
-    high = jnp.concatenate(
-        [img_c[:, h_local - h:],
-         jnp.repeat(img_c[:, -1:], 3 * h, axis=1)], axis=1)
+    if h_local >= 3 * h:
+        # fast path: each bank is a contiguous block slice of one edge shard
+        img_c = jnp.pad(imgf, [(0, 0), (0, 0), (3 * h, 3 * h)], mode="edge")
+        low = jnp.concatenate(
+            [jnp.repeat(img_c[:, :1], h, axis=1), img_c[:, :3 * h]], axis=1)
+        high = jnp.concatenate(
+            [img_c[:, h_local - h:],
+             jnp.repeat(img_c[:, -1:], 3 * h, axis=1)], axis=1)
+    else:
+        # degenerate shard heights: the banks span several shards' rows —
+        # slice them out of a 3h-row exchanged halo (multi-hop capable)
+        # of the edge shards. ext3h row t holds global row
+        # idx*h_local + t - 3h, so [-h, 3h) is t in [2h, 6h) on shard 0
+        # and [rows-h, rows+3h) is t in [2h + h_local, 6h + h_local) on
+        # shard n-1 (its top clamp rows replicate the last image row).
+        ext3h = exchange_row_halo(imgf, 3 * h)
+        ext3c = jnp.pad(ext3h, [(0, 0), (0, 0), (3 * h, 3 * h)],
+                        mode="edge")
+        low = ext3c[:, 2 * h:6 * h]
+        high = ext3c[:, 2 * h + h_local:6 * h + h_local]
     low = lax.psum(jnp.where(idx == 0, low, jnp.zeros_like(low)),
                    SPACE_AXIS)
     high = lax.psum(jnp.where(idx == n - 1, high, jnp.zeros_like(high)),
@@ -222,17 +259,20 @@ def wide_shard_supported(local_rows: int, global_rows: int, cols: int,
 
     Mirrors the single-chip envelope (``pipelines._wide_me_fallback``):
     ``wide_gram_supported`` at the GLOBAL geometry (the assembly's lag
-    windows and the Gram kernel's min-strip VMEM fit), plus 3h local rows
-    for the boundary banks / 2h halo exchange and the tail kernels' width
-    budget. Outside the envelope the shard functions degrade to the XLA
-    shard implementation (same numerics, psum'd pair-window Gram terms).
+    windows and the Gram kernel's min-strip VMEM fit), plus 2h local rows
+    so the tail kernels' ``stencil_reach`` halo exchanges in one ppermute
+    hop, and the tail kernels' width budget. Outside the envelope the
+    shard functions degrade to the XLA shard implementation (same
+    numerics; its wide Gram runs the sharded vectorized lag assembly at
+    every shard height, multi-hop halos included, so no geometry hits the
+    O(pairs) compile trap).
     """
     from ..ops.pallas.fused import max_supported_cols
     from ..ops.pallas.me_gram_wide import wide_gram_supported
 
     h = p // 2
     return (wide_gram_supported(global_rows, cols, p)
-            and local_rows >= 3 * h
+            and local_rows >= 2 * h
             and cols <= max_supported_cols("me", p))
 
 
@@ -262,11 +302,15 @@ def _analysis_local(img: jnp.ndarray, p: int = 3):
     """
     h = p // 2
     rows_global = lax.axis_size(SPACE_AXIS) * img.shape[-2]
-    # shard gate: 3h local rows for the 2h halo exchange + the edge
-    # shards' boundary banks; 6h global rows/cols for the lag windows
-    # (the single-chip vectorized gate, gram_terms_from_padded)
-    if (p != 3 and img.shape[-2] >= 3 * h and rows_global >= 6 * h
-            and img.shape[-1] >= 6 * h):
+    # shard gate: 6h GLOBAL rows/cols for the lag windows (the single-chip
+    # vectorized gate, gram_terms_from_padded). No local-rows condition:
+    # the multi-hop halo exchange and the exchanged-halo boundary banks
+    # cover arbitrarily small shards, so no shard geometry can fall back
+    # to the O(pairs) per-pair assembly — whose p=9 form is ~13k sibling
+    # ops and minutes of XLA compile (the r3 VERDICT's remaining trap).
+    # The residual fallback (tiny GLOBAL images) takes the tiny-image
+    # direct branch, same as a single chip.
+    if p != 3 and rows_global >= 6 * h and img.shape[-1] >= 6 * h:
         rx_matrix, rx_vector = _gram_wide_sharded(img, p)
     else:
         rx_matrix, rx_vector = gram_terms_from_padded(_extend(img, h),

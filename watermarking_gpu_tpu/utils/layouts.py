@@ -38,13 +38,83 @@ sharded programs and do not use this).
 from __future__ import annotations
 
 import contextlib
+import hashlib
+import os
+import pickle
 import threading
 
 import jax
 
-__all__ = ["pinned_jit"]
+__all__ = ["pinned_jit", "pinned_cache_dir"]
 
 _compile_lock = threading.Lock()
+
+
+def pinned_cache_dir() -> str | None:
+    """Directory of the pinned-program AOT side-cache, or None (disabled).
+
+    Pinned programs cannot use jax's persistent compilation cache (reloaded
+    executables lose their output layout tags — module doc), so without
+    further help every process restart re-pays the full Pallas compile at
+    flip-prone geometries (~2 min/shape for the fused detect tail through
+    the remote compile helper). Instead ``pinned_jit`` serializes its
+    AOT-compiled executables itself (``jax.experimental
+    .serialize_executable``) and reloads them here, re-checking the output
+    layout tags on every load — a mangled reload is discarded and
+    recompiled, so the cache can only ever save time, not correctness.
+
+    Override with ``WMTPU_PINNED_CACHE=<dir>``; disable with
+    ``WMTPU_PINNED_CACHE=off``.
+    """
+    env = os.environ.get("WMTPU_PINNED_CACHE", "")
+    if env.lower() in ("0", "off", "none", "disabled"):
+        return None
+    if env:
+        return env
+    return os.path.expanduser("~/.cache/watermarking_gpu_tpu/pinned")
+
+
+def _row_major_tags_ok(loaded, out_s) -> bool:
+    """Do the reloaded executable's output layout tags still say row-major
+    everywhere we pinned one? (The failure mode of the jax persistent
+    cache: tags revert to the auto-preferred transposed layout while the
+    data stays row-major.)"""
+    expected = jax.tree.leaves(out_s)
+    got = jax.tree.leaves(loaded.output_formats)
+    if len(expected) != len(got):
+        return False
+    for want, have in zip(expected, got):
+        if want is None:
+            continue
+        if (tuple(have.layout.major_to_minor)
+                != tuple(want.layout.major_to_minor)):
+            return False
+    return True
+
+
+def _aot_load(path: str, out_s, dev):
+    from jax.experimental import serialize_executable
+
+    with open(path, "rb") as fh:
+        payload, in_tree, out_tree = pickle.loads(fh.read())
+    loaded = serialize_executable.deserialize_and_load(
+        payload, in_tree, out_tree, backend=dev.client,
+        execution_devices=[dev])
+    if not _row_major_tags_ok(loaded, out_s):
+        raise ValueError("reloaded executable lost its pinned output "
+                         "layout tags")
+    return loaded
+
+
+def _aot_store(path: str, compiled) -> None:
+    from jax.experimental import serialize_executable
+
+    blob = pickle.dumps(serialize_executable.serialize(compiled))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, path)   # atomic: concurrent processes race benignly
 
 
 def _pin_device():
@@ -164,10 +234,37 @@ def pinned_jit(fun, force_pin: bool = False):
                 # pinned executables come back with mangled output layout
                 # tags (module doc), so these programs must never be
                 # written to or read from it. The lock keeps the global
-                # config toggle coherent across serving threads.
+                # config toggle coherent across serving threads. Warm
+                # starts come from our OWN AOT side-cache instead
+                # (pinned_cache_dir): executables serialized after
+                # compile, tag-checked on reload.
                 with _compile_lock, _no_persistent_cache():
-                    entry = cache[key] = (jitted.lower(*flat).compile(),
-                                          in_s)
+                    lowered = jitted.lower(*flat)
+                    side_dir = pinned_cache_dir()
+                    path = None
+                    if side_dir is not None:
+                        digest = hashlib.sha256(
+                            "\x00".join([
+                                lowered.as_text(),
+                                jax.__version__,
+                                str(dev),
+                            ]).encode()).hexdigest()
+                        path = os.path.join(side_dir, f"{digest}.aot")
+                    compiled = None
+                    if path is not None and os.path.exists(path):
+                        try:
+                            compiled = _aot_load(path, out_s, dev)
+                        except Exception:
+                            # stale/corrupt/mangled entry: recompile live
+                            with contextlib.suppress(OSError):
+                                os.remove(path)
+                            compiled = None
+                    if compiled is None:
+                        compiled = lowered.compile()
+                        if path is not None:
+                            with contextlib.suppress(Exception):
+                                _aot_store(path, compiled)
+                    entry = cache[key] = (compiled, in_s)
         call, in_s = entry
         if in_s is None:
             return call(*flat)
