@@ -256,6 +256,38 @@ def test_mixed_wide_me_matches_xla(rng, p, rows):
     np.testing.assert_allclose(float(got_c), float(ref_c), atol=2e-4)
 
 
+@pytest.mark.parametrize("p", [7, 9])
+def test_wide_tail_bf16_ring_tolerance(rng, p, monkeypatch):
+    """Tolerance bound for the opt-in bf16 ring staging of the wide detect
+    tail (the p=7/9 VMEM-budget lever, fused.WIDE_TAIL_BF16): detector
+    correlations on an embedded image must stay within the ~1e-3 class —
+    the reference's own fp16 Gram staging noise floor (me_p3.hpp:27,
+    docs/PARITY.md) — of the all-f32 fused path AND of the f64-solve XLA
+    formulation. Pins the numerics so the on-chip budget recalibration
+    only has to measure VMEM/fps, not correctness."""
+    import watermarking_gpu_tpu.ops.pallas.fused as fused
+    from watermarking_gpu_tpu.ops.pipelines import (detect_pipeline,
+                                                    embed_pipeline)
+
+    rows, cols = 72, 96
+    img = jnp.asarray(np.clip(rng.normal(128, 30, (rows, cols)), 0,
+                              255).astype(np.float32))
+    wm = jnp.asarray(rng.normal(size=(rows, cols)).astype(np.float32))
+    marked, _ = embed_pipeline(img, img, wm, 2.55, "me", p=p, impl="xla")
+    marked = jnp.asarray(marked)
+    f32 = float(detect_pipeline(marked, wm, "me", p=p, impl="pallas"))
+    xla = float(detect_pipeline(marked, wm, "me", p=p, impl="xla"))
+    monkeypatch.setattr(fused, "WIDE_TAIL_BF16", True)
+    bf16 = float(detect_pipeline(marked, wm, "me", p=p, impl="pallas"))
+    assert bf16 == pytest.approx(f32, abs=2e-3)
+    assert bf16 == pytest.approx(xla, abs=2e-3)
+    # the bf16 ring must separate marked from clean exactly like f32 does
+    # (marked corr ~0.16 on this small weakly-embedded image, clean ~0.002;
+    # measured bf16-vs-f32 delta is ~1e-4)
+    clean = float(detect_pipeline(img, wm, "me", p=p, impl="pallas"))
+    assert bf16 > clean + 0.1
+
+
 @pytest.mark.parametrize("p", [5, 7, 9])
 def test_fused_nvf_wide_windows(rng, p):
     """Fused NVF pipelines at p in {5,7,9}: wider halos through both the

@@ -55,6 +55,15 @@ SLOT_NORM_Z = 2   # sum e_z^2
 SLOT_SUM_U2 = 0   # embed: sum u_raw^2
 SLOT_MAX_E = 1    # embed: max |error| (reported-strength only)
 
+# Opt-in bf16 staging of the wide (ME p>3) detect tail's ring temporaries
+# (e_z/u planes): halves the dominant live VMEM planes so the p=7/9 strip
+# budgets can rise (they force 32/16-row strips at 1080p, ~1.3-2x halo
+# re-read overhead). Reductions still accumulate in f32; the precision
+# cost is bounded CPU-side by tests/test_pallas.py (the reference itself
+# stages its Gram in fp16, kernels/me_p3.hpp:27). Default OFF pending the
+# on-chip budget re-calibration that would justify it (r3 VERDICT item 8).
+WIDE_TAIL_BF16 = False
+
 SHARED_BUDGET = 320_000  # elements; recalibrated for the raw-mode kernels:
 # 4K strips widen 56 -> 72 (812 -> 955 fps) with 1080p/512 unchanged-or-
 # better, and the detect tail still fits scoped VMEM at 4K widths (the
@@ -213,21 +222,33 @@ def _detect_tail_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
     span = strip + 2 * half   # e_z / u region including the ring
     wspan = width + 2 * half
     base = pad - half
+    # bf16 ring staging (wide windows only, opt-in): the (span, wspan)
+    # e_z/u planes and their tap shifts dominate the live set; staging
+    # them at bf16 halves it. e_u accumulates in f32 from upcast taps.
+    ring_bf16 = WIDE_TAIL_BF16 and mask_type == "me" and p > 3
     e_z_ext = _error_region(ext, coeffs, base, span, wspan, pred_p)
+    if ring_bf16:
+        e_z_ext = e_z_ext.astype(jnp.bfloat16)
     if mask_type == "me":
         mask_ext = jnp.abs(e_z_ext)       # unnormalized: corr is invariant
     else:
         mask_ext = _nvf_region(ext, base, span, wspan, p)
-    u_ext = mask_ext * wm_ext[base : base + span, base : base + wspan]
+    wm_slice = wm_ext[base : base + span, base : base + wspan]
+    if ring_bf16:
+        wm_slice = wm_slice.astype(jnp.bfloat16)
+    u_ext = mask_ext * wm_slice
     u_ext = _clamp_fix_ring(u_ext, strip_index, strip, total_rows,
                             row0_ref[0], half)
 
     # e_u over the true center from u's own ring
-    e_u = u_ext[half : half + strip, half : half + width]
+    e_u = u_ext[half : half + strip,
+                half : half + width].astype(jnp.float32)
     for k, (dr, dc) in enumerate(taps):
         e_u = e_u - coeffs[k] * u_ext[half + dr : half + dr + strip,
-                                      half + dc : half + dc + width]
-    e_z = e_z_ext[half : half + strip, half : half + width]
+                                      half + dc : half + dc + width
+                                      ].astype(jnp.float32)
+    e_z = e_z_ext[half : half + strip,
+                  half : half + width].astype(jnp.float32)
 
     if masked:   # mask off padded bottom rows of the final strip
         g = (strip_index * strip
@@ -405,6 +426,29 @@ def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
 # The reference can only loop N full detections (Watermark.cpp:234-250).
 
 
+# chunked multi-candidate kernel's total VMEM numerator (f32 elements) per
+# generalized-ME window; p=3 (and NVF at every p) uses DETECT_MANY_TOTAL.
+# Values from the on-chip compile-verification campaign
+# (tools/calibrate_detect_many.py) pending; until then the conservative
+# tail_budget ratio stands (the generalized rings/taps keep more live
+# temporaries per strip row, but the chunked kernel's own footprint was
+# never measured at p>3).
+DETECT_MANY_TOTAL = 2_600_000
+DETECT_MANY_TOTAL_WIDE = {
+    5: DETECT_MANY_TOTAL * 180_000 // SHARED_BUDGET,   # 1_462_500
+    7: DETECT_MANY_TOTAL * 104_000 // SHARED_BUDGET,   # 845_000
+    9: DETECT_MANY_TOTAL * 72_000 // SHARED_BUDGET,    # 585_000
+}
+
+
+def detect_many_total(mask_type: str, p: int) -> int:
+    """Total VMEM-element numerator for the chunked multi-candidate
+    kernel's strip budget (split as total // (2*nc + 5))."""
+    if mask_type == "me" and p > 3:
+        return DETECT_MANY_TOTAL_WIDE[p]
+    return DETECT_MANY_TOTAL
+
+
 def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
                       p: int) -> tuple[int, int, int, int]:
     """(nc, pad, strip, rows_padded) for the multi-candidate kernel.
@@ -419,16 +463,15 @@ def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
     plane equivalents (wm double-buffer 16, raw image block + staging 3,
     e_z/mask/u/e_u temporaries and Mosaic's own copies the rest), where
     the naive live-set count said 21. The 2.6M-element numerator keeps the
-    worst case ~14.5 MB against the 16 MB scoped limit at p=3; wider ME
-    windows scale it by tail_budget's measured ratio (the generalized
-    rings/taps keep more live temporaries per strip row — conservative
-    pending an on-chip calibration of the chunked kernel itself).
+    worst case ~14.5 MB against the 16 MB scoped limit at p=3; the
+    generalized-ME numerators live in DETECT_MANY_TOTAL_WIDE
+    (tools/calibrate_detect_many.py is the measurement harness).
     """
     from .common import pick_strip, raw_mode_ok
 
     pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
     nc = min(8, n)
-    total = 2_600_000 * tail_budget(mask_type, p) // SHARED_BUDGET
+    total = detect_many_total(mask_type, p)
     budget = total // (2 * nc + 5)
     strip, rows_padded = pick_strip_for_width(rows, cols, budget, pad)
     if not raw_mode_ok(rows, strip, rows_padded):
@@ -448,7 +491,7 @@ def detect_many_supported(n: int, rows: int, cols: int, mask_type: str,
     callers fall back to the shared-analysis XLA formulation otherwise
     (``pipelines.detect_many_pipeline``)."""
     nc, pad, _, _ = detect_many_chunk(n, rows, cols, mask_type, p)
-    total = 2_600_000 * tail_budget(mask_type, p) // SHARED_BUDGET
+    total = detect_many_total(mask_type, p)
     return (8 + 2 * pad) * (cols + 2 * pad) <= total // (2 * nc + 5)
 
 
