@@ -1,0 +1,402 @@
+// In-process libav video decode + encode (libwmdecode.so, ctypes ABI).
+//
+// TPU-native counterpart of the reference's in-process decoder
+// (/root/reference/Watermark_GPU/main.cpp:422-437: avformat open, best
+// video stream, multithreaded decoder with FF_THREAD_FRAME preferred over
+// FF_THREAD_SLICE) and its de-padding copy out of the frame linesize
+// (main.cpp:348-353). Differences by design:
+//
+//  * frames are emitted as packed yuv420p (luma plane then quarter-res
+//    U, V — the raw layout the whole video pipeline streams, rawyuv.py);
+//  * non-4:2:0 inputs are converted with swscale instead of aborting
+//    (the reference whitelists YUV420P/YUVJ420P, main.cpp:458-459;
+//    `strict` restores that abort contract);
+//  * an in-process ENCODER is provided too: the reference pipes raw
+//    frames to an ffmpeg CLI subprocess (main.cpp:284-294), which this
+//    image does not have — wme_* writes real encoded files through
+//    libavformat/libavcodec directly (codec by name + k=v options).
+//
+// Plain C ABI throughout; Python binds with ctypes (video/libav.py).
+
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+void set_err(char *err, int errlen, const std::string &msg) {
+  if (err && errlen > 0) {
+    std::snprintf(err, static_cast<size_t>(errlen), "%s", msg.c_str());
+  }
+}
+
+std::string av_err_str(int code) {
+  char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+  av_strerror(code, buf, sizeof(buf));
+  return std::string(buf);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------- decoder
+
+struct WmDecoder {
+  AVFormatContext *fmt = nullptr;
+  AVCodecContext *ctx = nullptr;
+  SwsContext *sws = nullptr;
+  AVPacket *pkt = nullptr;
+  AVFrame *frame = nullptr;
+  int stream_index = -1;
+  int width = 0, height = 0;
+  double fps = 0.0;
+  bool draining = false;
+  std::string pix_fmt_name;
+  std::string last_error;
+};
+
+extern "C" void *wmd_open(const char *path, int strict, char *err,
+                          int errlen) {
+  auto *d = new WmDecoder();
+  int rc = avformat_open_input(&d->fmt, path, nullptr, nullptr);
+  if (rc < 0) {
+    set_err(err, errlen, "Could not open video: " + av_err_str(rc));
+    delete d;
+    return nullptr;
+  }
+  rc = avformat_find_stream_info(d->fmt, nullptr);
+  if (rc < 0) {
+    set_err(err, errlen, "No stream info: " + av_err_str(rc));
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  const AVCodec *codec = nullptr;
+  rc = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+  if (rc < 0 || !codec) {
+    set_err(err, errlen, "No video stream found");
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->stream_index = rc;
+  AVStream *stream = d->fmt->streams[d->stream_index];
+  d->ctx = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(d->ctx, stream->codecpar);
+  // decoder threading exactly as the reference picks it (main.cpp:427-434)
+  d->ctx->thread_count = 0;  // all cores
+  if (codec->capabilities & AV_CODEC_CAP_FRAME_THREADS) {
+    d->ctx->thread_type = FF_THREAD_FRAME;
+  } else if (codec->capabilities & AV_CODEC_CAP_SLICE_THREADS) {
+    d->ctx->thread_type = FF_THREAD_SLICE;
+  } else {
+    d->ctx->thread_count = 1;
+  }
+  rc = avcodec_open2(d->ctx, codec, nullptr);
+  if (rc < 0) {
+    set_err(err, errlen, "Could not open decoder: " + av_err_str(rc));
+    avcodec_free_context(&d->ctx);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->width = d->ctx->width;
+  d->height = d->ctx->height;
+  AVRational rate = av_guess_frame_rate(d->fmt, stream, nullptr);
+  d->fps = rate.den ? av_q2d(rate) : 30.0;
+  const char *name = av_get_pix_fmt_name(d->ctx->pix_fmt);
+  d->pix_fmt_name = name ? name : "";
+  bool is420 = d->ctx->pix_fmt == AV_PIX_FMT_YUV420P ||
+               d->ctx->pix_fmt == AV_PIX_FMT_YUVJ420P;
+  if (strict && !is420) {
+    // reference contract: abort on anything but 4:2:0 (main.cpp:458-459)
+    set_err(err, errlen,
+            "Unsupported pixel format " + d->pix_fmt_name +
+                " (strict mode accepts yuv420p/yuvj420p only)");
+    avcodec_free_context(&d->ctx);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  if (d->width % 2 || d->height % 2) {
+    set_err(err, errlen, "yuv420p requires even frame dimensions");
+    avcodec_free_context(&d->ctx);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->pkt = av_packet_alloc();
+  d->frame = av_frame_alloc();
+  return d;
+}
+
+extern "C" int wmd_width(void *h) { return static_cast<WmDecoder *>(h)->width; }
+extern "C" int wmd_height(void *h) {
+  return static_cast<WmDecoder *>(h)->height;
+}
+extern "C" double wmd_fps(void *h) { return static_cast<WmDecoder *>(h)->fps; }
+extern "C" const char *wmd_pix_fmt_name(void *h) {
+  return static_cast<WmDecoder *>(h)->pix_fmt_name.c_str();
+}
+extern "C" const char *wmd_error(void *h) {
+  return static_cast<WmDecoder *>(h)->last_error.c_str();
+}
+
+namespace {
+
+// de-pad (or convert) one decoded frame into packed yuv420p `dst`
+int emit_frame(WmDecoder *d, unsigned char *dst) {
+  const int w = d->width, h = d->height;
+  unsigned char *dst_planes[4] = {dst, dst + w * h,
+                                  dst + w * h + (w / 2) * (h / 2), nullptr};
+  int dst_lines[4] = {w, w / 2, w / 2, 0};
+  auto fmt = static_cast<AVPixelFormat>(d->frame->format);
+  if (fmt == AV_PIX_FMT_YUV420P || fmt == AV_PIX_FMT_YUVJ420P) {
+    // straight de-padding copy, the reference's linesize branch
+    // (main.cpp:348-353), for all three planes
+    av_image_copy(dst_planes, dst_lines,
+                  const_cast<const uint8_t **>(d->frame->data),
+                  d->frame->linesize, AV_PIX_FMT_YUV420P, w, h);
+    return 1;
+  }
+  d->sws = sws_getCachedContext(d->sws, w, h, fmt, w, h, AV_PIX_FMT_YUV420P,
+                                SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!d->sws) {
+    d->last_error = "could not create swscale converter";
+    return -1;
+  }
+  sws_scale(d->sws, d->frame->data, d->frame->linesize, 0, h, dst_planes,
+            dst_lines);
+  return 1;
+}
+
+}  // namespace
+
+// 1 = frame written to dst (w*h*3/2 bytes), 0 = EOF, -1 = error
+extern "C" int wmd_read(void *handle, unsigned char *dst) {
+  auto *d = static_cast<WmDecoder *>(handle);
+  for (;;) {
+    int rc = avcodec_receive_frame(d->ctx, d->frame);
+    if (rc == 0) {
+      int emitted = emit_frame(d, dst);
+      av_frame_unref(d->frame);
+      return emitted;
+    }
+    if (rc == AVERROR_EOF) return 0;
+    if (rc != AVERROR(EAGAIN)) {
+      d->last_error = "decode failed: " + av_err_str(rc);
+      return -1;
+    }
+    // feed more packets; at container EOF, flush once (NULL packet — the
+    // reference's drain pass, main.cpp:333-338)
+    for (;;) {
+      rc = av_read_frame(d->fmt, d->pkt);
+      if (rc == AVERROR_EOF) {
+        if (!d->draining) {
+          d->draining = true;
+          avcodec_send_packet(d->ctx, nullptr);
+        } else {
+          return 0;  // decoder signalled EAGAIN after drain: nothing left
+        }
+        break;
+      }
+      if (rc < 0) {
+        d->last_error = "read failed: " + av_err_str(rc);
+        return -1;
+      }
+      bool ours = d->pkt->stream_index == d->stream_index;
+      if (ours) {
+        rc = avcodec_send_packet(d->ctx, d->pkt);
+        av_packet_unref(d->pkt);
+        if (rc < 0 && rc != AVERROR(EAGAIN)) {
+          d->last_error = "send failed: " + av_err_str(rc);
+          return -1;
+        }
+        break;
+      }
+      av_packet_unref(d->pkt);
+    }
+  }
+}
+
+extern "C" void wmd_close(void *handle) {
+  auto *d = static_cast<WmDecoder *>(handle);
+  if (!d) return;
+  if (d->sws) sws_freeContext(d->sws);
+  av_frame_free(&d->frame);
+  av_packet_free(&d->pkt);
+  avcodec_free_context(&d->ctx);
+  avformat_close_input(&d->fmt);
+  delete d;
+}
+
+// ---------------------------------------------------------------- encoder
+
+struct WmEncoder {
+  AVFormatContext *fmt = nullptr;
+  AVCodecContext *ctx = nullptr;
+  AVStream *stream = nullptr;
+  AVPacket *pkt = nullptr;
+  AVFrame *frame = nullptr;
+  int width = 0, height = 0;
+  int64_t next_pts = 0;
+  bool header_written = false;
+  std::string last_error;
+};
+
+namespace {
+
+int drain_packets(WmEncoder *e) {
+  for (;;) {
+    int rc = avcodec_receive_packet(e->ctx, e->pkt);
+    if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+    if (rc < 0) {
+      e->last_error = "encode failed: " + av_err_str(rc);
+      return -1;
+    }
+    av_packet_rescale_ts(e->pkt, e->ctx->time_base, e->stream->time_base);
+    e->pkt->stream_index = e->stream->index;
+    rc = av_interleaved_write_frame(e->fmt, e->pkt);
+    if (rc < 0) {
+      e->last_error = "mux failed: " + av_err_str(rc);
+      return -1;
+    }
+  }
+}
+
+void free_encoder(WmEncoder *e) {
+  av_frame_free(&e->frame);
+  av_packet_free(&e->pkt);
+  avcodec_free_context(&e->ctx);
+  if (e->fmt) {
+    if (e->fmt->pb) avio_closep(&e->fmt->pb);
+    avformat_free_context(e->fmt);
+  }
+  delete e;
+}
+
+}  // namespace
+
+// options: "key=value,key=value" codec private/generic AVOptions
+extern "C" void *wme_open(const char *path, int width, int height,
+                          double fps, const char *codec_name,
+                          const char *options, char *err, int errlen) {
+  auto *e = new WmEncoder();
+  e->width = width;
+  e->height = height;
+  int rc = avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path);
+  if (rc < 0 || !e->fmt) {
+    set_err(err, errlen,
+            "No muxer for output path (try .mkv/.avi/.mp4): " +
+                av_err_str(rc));
+    delete e;
+    return nullptr;
+  }
+  const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+  if (!codec) {
+    set_err(err, errlen,
+            std::string("Encoder '") + codec_name + "' not available");
+    avformat_free_context(e->fmt);
+    e->fmt = nullptr;
+    delete e;
+    return nullptr;
+  }
+  e->ctx = avcodec_alloc_context3(codec);
+  e->ctx->width = width;
+  e->ctx->height = height;
+  e->ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  AVRational rate = av_d2q(fps > 0 ? fps : 30.0, 1 << 16);
+  e->ctx->time_base = av_inv_q(rate);
+  e->ctx->framerate = rate;
+  e->ctx->gop_size = 12;
+  if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER) {
+    e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  }
+  AVDictionary *opts = nullptr;
+  if (options && options[0]) {
+    av_dict_parse_string(&opts, options, "=", ",", 0);
+  }
+  rc = avcodec_open2(e->ctx, codec, &opts);
+  av_dict_free(&opts);
+  if (rc < 0) {
+    set_err(err, errlen, "Could not open encoder: " + av_err_str(rc));
+    free_encoder(e);
+    return nullptr;
+  }
+  e->stream = avformat_new_stream(e->fmt, nullptr);
+  avcodec_parameters_from_context(e->stream->codecpar, e->ctx);
+  e->stream->time_base = e->ctx->time_base;
+  rc = avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE);
+  if (rc < 0) {
+    set_err(err, errlen, "Could not open output file: " + av_err_str(rc));
+    free_encoder(e);
+    return nullptr;
+  }
+  rc = avformat_write_header(e->fmt, nullptr);
+  if (rc < 0) {
+    set_err(err, errlen, "Could not write header: " + av_err_str(rc));
+    free_encoder(e);
+    return nullptr;
+  }
+  e->header_written = true;
+  e->pkt = av_packet_alloc();
+  e->frame = av_frame_alloc();
+  e->frame->format = AV_PIX_FMT_YUV420P;
+  e->frame->width = width;
+  e->frame->height = height;
+  av_frame_get_buffer(e->frame, 0);
+  return e;
+}
+
+extern "C" const char *wme_error(void *h) {
+  return static_cast<WmEncoder *>(h)->last_error.c_str();
+}
+
+// src: packed yuv420p (w*h luma + 2 quarter chroma). 0 ok, -1 error.
+extern "C" int wme_write(void *handle, const unsigned char *src) {
+  auto *e = static_cast<WmEncoder *>(handle);
+  int rc = av_frame_make_writable(e->frame);
+  if (rc < 0) {
+    e->last_error = "frame not writable: " + av_err_str(rc);
+    return -1;
+  }
+  const int w = e->width, h = e->height;
+  const uint8_t *src_planes[4] = {src, src + w * h,
+                                  src + w * h + (w / 2) * (h / 2), nullptr};
+  int src_lines[4] = {w, w / 2, w / 2, 0};
+  av_image_copy(e->frame->data, e->frame->linesize, src_planes, src_lines,
+                AV_PIX_FMT_YUV420P, w, h);
+  e->frame->pts = e->next_pts++;
+  rc = avcodec_send_frame(e->ctx, e->frame);
+  if (rc < 0) {
+    e->last_error = "send frame failed: " + av_err_str(rc);
+    return -1;
+  }
+  return drain_packets(e);
+}
+
+extern "C" int wme_close(void *handle) {
+  auto *e = static_cast<WmEncoder *>(handle);
+  if (!e) return 0;
+  int result = 0;
+  if (e->ctx && e->header_written) {
+    avcodec_send_frame(e->ctx, nullptr);  // flush
+    result = drain_packets(e);
+    int rc = av_write_trailer(e->fmt);
+    if (rc < 0 && result == 0) result = -1;
+  }
+  free_encoder(e);
+  return result;
+}
+
+// encoder availability probe (Python picks ffv1 -> mpeg4 fallbacks)
+extern "C" int wme_codec_available(const char *name) {
+  return avcodec_find_encoder_by_name(name) != nullptr;
+}

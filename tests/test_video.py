@@ -263,6 +263,9 @@ echo '{{"streams": [{{"width": {W}, "height": {H}, "avg_frame_rate": "25/1", "pi
     ffprobe.chmod(0o755)
     monkeypatch.setenv("WM_FFMPEG", str(ffmpeg))
     monkeypatch.setenv("WM_FFPROBE", str(ffprobe))
+    # these tests exercise the SUBPROCESS plumbing; the in-process libav
+    # path (which outranks it) would reject the fake "input.mp4"
+    monkeypatch.setenv("WM_NO_INPROC_VIDEO", "1")
     return root, clip_path, wm_path
 
 
@@ -299,6 +302,104 @@ def test_ffmpeg_subprocess_path(fake_ffmpeg, tmp_path, capsys):
     n, results = detect_video(det, out=io.StringIO())
     assert n == N_FRAMES
     assert all(c > 0.4 for _, c in results)
+
+
+def _inproc_or_skip():
+    from watermarking_gpu_tpu.video import libav
+    if not libav.available():
+        pytest.skip("libwmdecode.so not built (make -C native)")
+    return libav
+
+
+def test_inproc_encode_decode_lossless_roundtrip(tmp_path, rng):
+    """In-process libav encode (ffv1, lossless) -> in-process decode
+    reproduces the source frames bit-exactly, including the linesize
+    de-padding (the reference's main.cpp:348-353 copy) and geometry/fps
+    metadata."""
+    from watermarking_gpu_tpu.video import synthesize
+    libav = _inproc_or_skip()
+    if not libav.codec_available("ffv1"):
+        pytest.skip("ffv1 encoder not in this libavcodec")
+    w, h, n = 96, 64, 6
+    fb = frame_bytes(w, h)
+    clip = synthesize(w, h, n, seed=11)
+    path = str(tmp_path / "clip.mkv")
+    enc = libav.LibavEncoder(path, w, h, 25.0, "ffv1")
+    for i in range(n):
+        enc.write(clip[i * fb:(i + 1) * fb])
+    enc.close()
+    dec = libav.LibavDecoder(path)
+    assert (dec.width, dec.height, dec.pix_fmt) == (w, h, "yuv420p")
+    assert dec.fps == pytest.approx(25.0)
+    got = []
+    while True:
+        frame = dec.read()
+        if frame is None:
+            break
+        got.append(frame)
+    dec.close()
+    want = np.frombuffer(clip, np.uint8).reshape(n, fb)
+    np.testing.assert_array_equal(np.stack(got), want)
+
+
+def test_inproc_video_embed_then_detect_end_to_end(tmp_path, clip):
+    """Full video round trip with NO ffmpeg binary and NO raw fallback:
+    in-process decode of a real encoded clip, watermark embed, in-process
+    ENCODE of the watermarked stream (lossless ffv1 via encode_options
+    translation), then in-process decode + detect — the embedded frames
+    must correlate strongly, a clean clip must not. This is the
+    reference's whole video story (main.cpp:245-410) running entirely
+    in-process."""
+    from watermarking_gpu_tpu.video import synthesize
+    libav = _inproc_or_skip()
+    if not libav.codec_available("ffv1"):
+        pytest.skip("ffv1 encoder not in this libavcodec")
+    root, _, wm_path = clip
+    fb = frame_bytes(W, H)
+    raw = synthesize(W, H, N_FRAMES, seed=3)
+    src_path = str(tmp_path / "src.mkv")
+    enc = libav.LibavEncoder(src_path, W, H, 25.0, "ffv1")
+    for i in range(N_FRAMES):
+        enc.write(raw[i * fb:(i + 1) * fb])
+    enc.close()
+
+    marked_path = str(tmp_path / "marked.mkv")
+    settings = make_settings(root, src_path, wm_path, raw_video_size="",
+                             encode_watermark_file_path=marked_path,
+                             encode_options="-c:v ffv1 -level 3")
+    frames = embed_video(settings, out=io.StringIO())
+    assert frames == N_FRAMES
+
+    det = make_settings(root, marked_path, wm_path, raw_video_size="")
+    n, results = detect_video(det, out=io.StringIO())
+    assert n == N_FRAMES
+    sampled = [c for _, c in results]
+    assert len(sampled) == (N_FRAMES + INTERVAL - 1) // INTERVAL
+    assert all(c > 0.4 for c in sampled)
+
+    clean = make_settings(root, src_path, wm_path, raw_video_size="")
+    _, clean_results = detect_video(clean, out=io.StringIO())
+    assert all(abs(c) < 0.2 for _, c in clean_results)
+
+
+def test_inproc_decoder_threading_matches_reference_contract(tmp_path):
+    """Decoder geometry guards: odd dimensions rejected; a missing file
+    fails with a clear error instead of a crash."""
+    libav = _inproc_or_skip()
+    with pytest.raises(RuntimeError, match="open video"):
+        libav.LibavDecoder(str(tmp_path / "missing.mkv"))
+
+
+def test_translate_encode_options():
+    from watermarking_gpu_tpu.video.pipeline import _translate_encode_options
+    codec, opts = _translate_encode_options(
+        "-c:v libx265 -preset fast -crf 23")
+    assert codec == "libx265"
+    assert opts == "preset=fast,crf=23"
+    codec, opts = _translate_encode_options("")
+    assert codec is None and opts == ""
+    codec, opts = _translate_encode_options("-vcodec mpeg4 -q:v 3")
+    assert codec == "mpeg4" and opts == "q:v=3"
 
 
 def test_video_dims_guard_scopes_to_fused_path():

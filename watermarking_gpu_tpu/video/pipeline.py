@@ -36,12 +36,40 @@ from .rawyuv import frame_bytes, split_planes
 
 
 class FrameSource:
-    """Uniform frame source over ffmpeg decode or a raw .yuv file."""
+    """Uniform frame source over in-process libav decode, ffmpeg-subprocess
+    decode, or a raw .yuv file.
+
+    The in-process decoder is the PRIMARY path (the reference decodes
+    in-process too, main.cpp:422-437): frame/slice-threaded libav behind a
+    prefetching ring. The ffmpeg child remains for installs without the
+    native library; raw ``.yuv`` needs neither.
+    """
 
     def __init__(self, settings: Settings):
+        from . import libav
+
         path = settings.video
         self._proc = None
         self._file = None
+        self._inproc = None
+        if not path.endswith(".yuv") and libav.available():
+            decoder = libav.LibavDecoder(path)
+            try:
+                # same contract + messages as the subprocess path: the
+                # reference aborts on non-4:2:0 (main.cpp:458-459); the
+                # default converts with a NOTE
+                ff.check_pixel_format(
+                    ff.VideoInfo(decoder.width, decoder.height, decoder.fps,
+                                 decoder.pix_fmt),
+                    settings.strict_pixel_format)
+            except Exception:
+                decoder.close()
+                raise
+            self.width, self.height = decoder.width, decoder.height
+            self.fps = decoder.fps
+            self._inproc = decoder
+            self.reader = libav.DecoderReader(decoder)
+            return
         if path.endswith(".yuv"):
             if not settings.raw_video_size:
                 raise RuntimeError(
@@ -77,20 +105,78 @@ class FrameSource:
             self._file.close()
 
 
+def _translate_encode_options(encode_options: str
+                              ) -> tuple[str | None, str]:
+    """ffmpeg-CLI ``encode_options`` -> (codec name, AVOption k=v list).
+
+    The reference's ini carries CLI-style options for its ffmpeg child
+    (``-c:v libx265 -preset fast -crf 23``, main.cpp:284); the in-process
+    encoder takes the codec by name plus an AVOption dict, so the common
+    ``-key value`` pairs translate directly (unknown AVOptions are
+    ignored by libav, matching ffmpeg CLI leniency per-codec).
+    """
+    import shlex
+
+    tokens = shlex.split(encode_options or "")
+    codec = None
+    pairs = []
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        value = tokens[i + 1] if i + 1 < len(tokens) else None
+        if tok in ("-c:v", "-codec:v", "-vcodec") and value:
+            codec = value
+            i += 2
+        elif tok.startswith("-") and value is not None \
+                and not value.startswith("-"):
+            pairs.append(f"{tok[1:]}={value}")
+            i += 2
+        else:
+            i += 1
+    return codec, ",".join(pairs)
+
+
 class FrameSink:
-    """Uniform frame sink over an ffmpeg encoder or a raw .yuv file."""
+    """Uniform frame sink over an ffmpeg-subprocess encoder, the in-process
+    libav encoder, or a raw .yuv file.
+
+    Preference order for encoded outputs: the ffmpeg child (honors the
+    reference's full ``encode_options`` CLI string, main.cpp:284-294), then
+    the in-process encoder (codec + common options translated from
+    ``encode_options``; the path for installs with no ffmpeg binary at
+    all), then raw ``.yuv``.
+    """
 
     def __init__(self, settings: Settings, source: FrameSource):
+        from . import libav
+
         out_path = settings.encode_watermark_file_path
         self._proc = None
         self._file = None
-        if out_path.endswith(".yuv") or not ff.ffmpeg_path():
-            if not out_path.endswith(".yuv"):
-                raise RuntimeError(
-                    "No ffmpeg binary: set encode_watermark_file_path to a "
-                    ".yuv path for raw output")
+        self._inproc = None
+        if out_path.endswith(".yuv"):
             self._file = open(out_path, "wb")
             fd = self._file.fileno()
+        elif not ff.ffmpeg_path() and libav.available():
+            codec_pref, options = _translate_encode_options(
+                settings.encode_options)
+            codec = libav.pick_encoder(codec_pref)
+            if codec is None:
+                raise RuntimeError("No usable in-process encoder codec")
+            if codec_pref and codec != codec_pref:
+                print(f"NOTE: encoder '{codec_pref}' unavailable "
+                      f"in-process; using '{codec}'")
+            encoder = libav.LibavEncoder(out_path, source.width,
+                                         source.height, source.fps, codec,
+                                         options)
+            self._inproc = encoder
+            self.writer = libav.EncoderWriter(encoder)
+            return
+        elif not ff.ffmpeg_path():
+            raise RuntimeError(
+                "No ffmpeg binary and no in-process encoder (make -C "
+                "native): set encode_watermark_file_path to a .yuv path "
+                "for raw output")
         else:
             self._proc = ff.open_encoder(out_path, source.width,
                                          source.height, source.fps,
