@@ -120,10 +120,13 @@ def _slope(run, iters=(4, 12), reps=4):
     return slope if slope > 0 else float("nan")
 
 
-def detect_many_benchmark(rows=512, cols=512, n=64, iters=(4, 16), reps=6):
-    """Watermark identification: one 512² image against 64 candidates in
-    one dispatch (the fused multi-candidate kernel; the reference can
-    only loop N full detections, Watermark.cpp:234-250)."""
+def detect_many_benchmark(rows=512, cols=512, n=64, iters=(4, 16), reps=6,
+                          p=3):
+    """Watermark identification: one image against 64 candidates in one
+    dispatch (the fused multi-candidate kernel; the reference can only
+    loop N full detections, Watermark.cpp:234-250). ``p`` sizes the
+    generalized window — wide rows measure the chunked kernel where
+    DETECT_MANY_TOTAL_WIDE's calibration allows, else the XLA fallback."""
     import jax
     import jax.numpy as jnp
 
@@ -139,7 +142,7 @@ def detect_many_benchmark(rows=512, cols=512, n=64, iters=(4, 16), reps=6):
             out = jnp.float32(0.0)
             for _ in range(k):
                 corr = detect_many_pipeline(image + out * 1e-30, wms, "me",
-                                            p=3, impl=default_impl())
+                                            p=p, impl=default_impl())
                 out = jnp.sum(corr)
             return out
         return run
@@ -420,6 +423,17 @@ def main():
         print(key, report["results"][key], flush=True)
 
     report["results"]["detect_many_512_n64"] = detect_many_benchmark()
+    if not args.quick:
+        # identification at a generalized window on a production frame
+        # size (r3 VERDICT item 3's done-bar row); fused when the chunked
+        # kernel's calibrated budget admits the geometry
+        from watermarking_gpu_tpu.ops.pallas.fused import \
+            detect_many_supported
+        row = detect_many_benchmark(rows=1080, cols=1920, n=64,
+                                    iters=(2, 6), reps=4, p=5)
+        row["fused"] = bool(detect_many_supported(64, 1080, 1920, "me", 5))
+        report["results"]["detect_many_1080p_n64_p5"] = row
+        print("detect_many_1080p_n64_p5", row, flush=True)
     print("detect_many_512_n64", report["results"]["detect_many_512_n64"],
           flush=True)
     report["results"]["video_detect_1080p"] = video_detect_benchmark()
