@@ -302,6 +302,36 @@ def test_generalized_me_spatial_pallas_degrades_outside_envelope(
     np.testing.assert_allclose(float(got), float(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("halo", [3, 4, 9, 11])
+def test_exchange_row_halo_multi_hop_values(halo):
+    """Value-level pin of the halo exchange at every depth class: within
+    one shard (3 < 4 local rows), exactly one shard (4), deep multi-hop
+    (9, 11 > 2 shards): the exchanged block must equal the corresponding
+    rows of the edge-replicated GLOBAL image at every shard."""
+    from functools import partial
+
+    from watermarking_gpu_tpu.parallel import make_mesh, shard_rows
+    from watermarking_gpu_tpu.parallel.spatial import (SPACE_AXIS,
+                                                       exchange_row_halo,
+                                                       shard_map)
+    from jax.sharding import PartitionSpec as P
+
+    n, h_local, w = 8, 4, 16
+    rows = n * h_local
+    img = np.arange(rows * w, dtype=np.float32).reshape(rows, w) + 1.0
+    mesh = make_mesh(data=1, space=n)
+    fn = jax.jit(shard_map(
+        partial(exchange_row_halo, halo=halo),
+        mesh=mesh, in_specs=(P(SPACE_AXIS, None),),
+        out_specs=P(SPACE_AXIS, None), check_vma=False))
+    got = np.asarray(fn(shard_rows(mesh, jnp.asarray(img))))
+    got = got.reshape(n, h_local + 2 * halo, w)
+    padded = np.pad(img, [(halo, halo), (0, 0)], mode="edge")
+    for i in range(n):
+        want = padded[i * h_local:i * h_local + h_local + 2 * halo]
+        np.testing.assert_array_equal(got[i], want)
+
+
 def test_wide_me_spatial_pallas_2h_shards_match_single(frames, watermark32):
     """ME p=9 on 8-row shards (local rows == 2h, < 3h): newly inside the
     fused wide envelope — the wide Gram's boundary banks come from a

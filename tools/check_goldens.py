@@ -65,6 +65,10 @@ def main() -> int:
     parser.add_argument("--wide", action="store_true",
                         help="also check p in {5,7,9} on the 512 sample "
                              "(pallas = the fused wide pipeline)")
+    parser.add_argument("--out", default=None,
+                        help="write a JSON artifact of the run (per-case "
+                             "deltas + device + date) — the auditable "
+                             "on-chip goldens record, e.g. GOLDENS_TPU.json")
     args = parser.parse_args()
 
     import jax
@@ -85,6 +89,7 @@ def main() -> int:
     print(f"backend: {jax.default_backend()}  device: {device}")
 
     failures = 0
+    records = []
 
     def check(impl, label, mask_type, want, *, p=3):
         nonlocal failures
@@ -99,6 +104,13 @@ def main() -> int:
         ok = (d_s <= STRENGTH_RTOL[mask_type] and d_c <= CORR_TOL
               and d_cl <= CORR_TOL)
         failures += not ok
+        records.append({
+            "impl": impl, "case": label, "mask": mask_type, "p": p,
+            "strength": float(strength), "correlation": float(corr),
+            "clean_correlation": float(clean),
+            "strength_drel": d_s, "correlation_delta": d_c,
+            "clean_delta": d_cl, "ok": ok,
+        })
         print(f"{impl:6s} {label:8s} {mask_type:3s}  "
               f"strength {float(strength):10.4f} (drel {d_s:.2e})  "
               f"corr {float(corr):.6f} (d {d_c:.2e})  "
@@ -123,6 +135,21 @@ def main() -> int:
                           goldens["wide_512"][f"p{p}"][mask_type], p=p)
     print("all goldens reproduced" if failures == 0
           else f"{failures} comparisons FAILED")
+    if args.out:
+        import datetime
+        artifact = {
+            "backend": jax.default_backend(),
+            "device": str(device),
+            "date": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"),
+            "tolerances": {"correlation_abs": CORR_TOL,
+                           "strength_rtol": STRENGTH_RTOL},
+            "failures": failures,
+            "cases": records,
+        }
+        with open(args.out, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(f"wrote {args.out} ({len(records)} cases)")
     return 1 if failures else 0
 
 
