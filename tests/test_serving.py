@@ -5,7 +5,8 @@ import pytest
 
 from watermarking_gpu_tpu.models.batched import BatchedWatermark
 from watermarking_gpu_tpu.models.masks import MaskType
-from watermarking_gpu_tpu.serving import DetectorService, EmbedderService
+from watermarking_gpu_tpu.serving import (DetectorService, EmbedderService,
+                                          IdentifierService)
 
 
 @pytest.fixture(scope="module")
@@ -214,6 +215,62 @@ def test_submission_backpressure(engine):
     finally:
         release.set()
         service.close()
+
+
+def test_identifier_service_matches_direct(engine, frames):
+    """submit(frame) -> (N,) correlations against a fixed candidate bank,
+    matching engine.detect_many; the embedded candidate wins argmax."""
+    rng = np.random.default_rng(77)
+    bank = np.stack(
+        [np.asarray(engine.random_matrix)]
+        + [rng.normal(size=(engine.rows, engine.cols)).astype(np.float32)
+           for _ in range(5)])
+    marked, _ = engine.embed(frames[:3], mask_type=MaskType.ME)
+    marked = np.asarray(marked)
+    direct = np.asarray(engine.detect_many(marked, bank, MaskType.ME))
+    service = IdentifierService(engine, bank, batch_size=2,
+                                flush_timeout=0.01)
+    try:
+        futures = [service.submit(f) for f in marked]
+        got = np.stack([f.result(timeout=60) for f in futures])
+    finally:
+        service.close()
+    assert got.shape == (3, 6)
+    np.testing.assert_allclose(got, direct, atol=1e-5)
+    assert (np.argmax(got, axis=1) == 0).all()   # the embedded candidate
+
+    with pytest.raises(ValueError, match="Candidate bank"):
+        IdentifierService(engine, bank[:, :-1])
+
+
+def test_identifier_service_mesh_candidate_sharding(engine, frames):
+    """With a mesh, the candidate bank shards over the data axis (each
+    chip scores N/n candidates); results match single-device."""
+    from watermarking_gpu_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(78)
+    bank = np.stack(
+        [np.asarray(engine.random_matrix)]
+        + [rng.normal(size=(engine.rows, engine.cols)).astype(np.float32)
+           for _ in range(7)])
+    marked, _ = engine.embed(frames[:2], mask_type=MaskType.ME)
+    marked = np.asarray(marked)
+    direct = np.asarray(engine.detect_many(marked, bank, MaskType.ME))
+    mesh = make_mesh(data=4)
+    service = IdentifierService(engine, bank, batch_size=2, mesh=mesh,
+                                flush_timeout=0.01)
+    try:
+        got = np.stack([f.result(timeout=60)
+                        for f in [service.submit(x) for x in marked]])
+    finally:
+        service.close()
+    np.testing.assert_allclose(got, direct, atol=1e-4)
+
+    with pytest.raises(ValueError, match="divide"):
+        IdentifierService(engine, bank[:6], mesh=mesh)
+    with pytest.raises(ValueError, match="space"):
+        IdentifierService(engine, bank,
+                          mesh=make_mesh(data=2, space=4))
 
 
 def test_close_completes_with_wedged_device(engine):

@@ -8,9 +8,10 @@ pipelines, and a settings.ini-driven benchmark CLI.
 
 from .models import BatchedWatermark, MaskType, Watermark
 from .ops import strength_factor
-from .serving import DetectorService, EmbedderService
+from .serving import DetectorService, EmbedderService, IdentifierService
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = ["BatchedWatermark", "DetectorService", "EmbedderService",
-           "MaskType", "Watermark", "strength_factor", "__version__"]
+           "IdentifierService", "MaskType", "Watermark", "strength_factor",
+           "__version__"]

@@ -368,6 +368,76 @@ class DetectorService(_BatchingService):
         self._finish(future, float(host[0][index]))
 
 
+class IdentifierService(_BatchingService):
+    """submit(gray frame) -> Future[(N,) correlations] against a FIXED
+    candidate bank — the serving form of watermark identification.
+
+    Each dispatched batch runs the shared-analysis ``detect_many`` path:
+    the per-frame analysis (Gram, solve, error sequence, mask) is computed
+    once per frame and shared across all N candidates (the fused
+    multi-candidate kernel where its VMEM envelope admits the geometry).
+    The reference could only loop N full detections per frame
+    (``Watermark.cpp:234-250``).
+
+    ``mesh``: optional Mesh whose ``data`` axis shards the CANDIDATE bank
+    (frames are replicated; each chip scores N/n candidates —
+    ``parallel.make_dp_detect_many``). N must divide by the data axis; a
+    ``space`` axis is not supported here (use ``make_mesh_detect_many``
+    directly for frames too large for one chip).
+    """
+
+    def __init__(self, engine: BatchedWatermark, candidates,
+                 mask_type: "MaskType | str" = MaskType.ME,
+                 batch_size: int = 8, max_inflight: int = 2,
+                 flush_timeout: float = 0.005, mesh=None,
+                 max_queued: int | None = 256):
+        candidates = np.asarray(candidates, np.float32)
+        if candidates.ndim != 3 or candidates.shape[1:] != (engine.rows,
+                                                            engine.cols):
+            raise ValueError(
+                f"Candidate bank must be (N, {engine.rows}, {engine.cols}),"
+                f" got {candidates.shape}")
+        self._bank = candidates
+        self._id_mesh = mesh
+        if mesh is not None:      # validate BEFORE starting worker threads
+            from .parallel.mesh import DATA_AXIS
+
+            if dict(mesh.shape).get("space", 1) > 1:
+                raise ValueError(
+                    "IdentifierService shards candidates over the data "
+                    "axis only; space axes are not supported here")
+            n_dev = mesh.shape[DATA_AXIS]
+            if candidates.shape[0] % n_dev:
+                raise ValueError(
+                    f"candidate count {candidates.shape[0]} must divide "
+                    f"over the mesh data axis ({n_dev})")
+        # base batching machinery only; the data axis shards candidates,
+        # not frames, so the base mesh plumbing does not apply
+        super().__init__(engine, mask_type, batch_size, max_inflight,
+                         flush_timeout, None, max_queued)
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel import make_dp_detect_many
+            from .parallel.mesh import DATA_AXIS
+
+            impl = self._mesh_impl(engine)
+            self._dp_fn = make_dp_detect_many(
+                mesh, self.mask_type.value, p=engine.p, impl=impl,
+                batched=True)
+            self._bank_dev = jax.device_put(
+                candidates, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+
+    def _run_batch(self, stack):
+        if self._id_mesh is not None:
+            return self._dp_fn(stack, self._bank_dev)
+        return self.engine.detect_many(stack, self._bank, self.mask_type)
+
+    def _resolve(self, future, host, index):
+        self._finish(future, host[0][index])
+
+
 class EmbedderService(_BatchingService):
     """submit(gray frame) -> Future[(watermarked ndarray, strength)].
 
