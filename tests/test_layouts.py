@@ -103,6 +103,43 @@ def test_pinned_aot_side_cache_reuses_executable(rng, tmp_path,
     assert events == ["store", "load", "load", "store"]
 
 
+def test_engine_pinned_programs_warm_start_from_side_cache(rng, tmp_path,
+                                                           monkeypatch):
+    """Engine-level integration: a FLIP-PRONE geometry (transposed layout
+    pads less, e.g. a narrow 68-wide frame like the 3872-wide 4K sample's
+    class) routes through pinned_jit's pin branch; a second engine in a
+    fresh pinned_jit universe must reload the serialized executables
+    instead of recompiling, with identical results."""
+    import watermarking_gpu_tpu.utils.layouts as layouts
+    from watermarking_gpu_tpu.models.watermark import Watermark
+    from watermarking_gpu_tpu.utils.layouts import _flip_prone
+
+    assert _flip_prone((256, 68))
+    monkeypatch.setenv("WMTPU_PINNED_CACHE", str(tmp_path))
+    events = []
+    real_load, real_store = layouts._aot_load, layouts._aot_store
+    monkeypatch.setattr(layouts, "_aot_load",
+                        lambda *a: events.append("load") or real_load(*a))
+    monkeypatch.setattr(layouts, "_aot_store",
+                        lambda *a: events.append("store") or real_store(*a))
+
+    img = np.clip(rng.normal(128, 40, (256, 68)), 0, 255).astype(np.float32)
+    wm = rng.normal(size=(256, 68)).astype(np.float32)
+    eng1 = Watermark(256, 68, wm, p=3, psnr=40.0, impl="xla")
+    marked1, s1 = eng1.embed(img, mask_type="me")
+    corr1 = float(eng1.detect(np.asarray(marked1), "me"))
+    stores = events.count("store")
+    assert stores >= 1 and events.count("load") == 0
+
+    eng2 = Watermark(256, 68, wm, p=3, psnr=40.0, impl="xla")
+    marked2, s2 = eng2.embed(img, mask_type="me")
+    corr2 = float(eng2.detect(np.asarray(marked2), "me"))
+    assert events.count("load") == stores      # every program reloaded
+    assert events.count("store") == stores     # ... and none recompiled
+    assert corr2 == corr1 and float(s2) == float(s1)
+    np.testing.assert_array_equal(np.asarray(marked2), np.asarray(marked1))
+
+
 def test_pinned_aot_side_cache_disable(rng, tmp_path, monkeypatch):
     """WMTPU_PINNED_CACHE=off keeps pinned compiles fully in-process."""
     import watermarking_gpu_tpu.utils.layouts as layouts

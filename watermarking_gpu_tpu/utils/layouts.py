@@ -79,8 +79,11 @@ def _row_major_tags_ok(loaded, out_s) -> bool:
     everywhere we pinned one? (The failure mode of the jax persistent
     cache: tags revert to the auto-preferred transposed layout while the
     data stays row-major.)"""
-    expected = jax.tree.leaves(out_s)
-    got = jax.tree.leaves(loaded.output_formats)
+    # keep the None placeholders (scalar outputs we did not pin) so the
+    # two leaf lists stay position-aligned
+    expected = jax.tree.leaves(out_s, is_leaf=lambda x: x is None)
+    got = jax.tree.leaves(loaded.output_formats,
+                          is_leaf=lambda x: x is None)
     if len(expected) != len(got):
         return False
     for want, have in zip(expected, got):
