@@ -194,7 +194,7 @@ def test_submission_backpressure(engine):
         futures = [service.submit(frame)]      # dispatched, engine stalls
         time.sleep(0.05)                       # let the dispatcher pick it
         futures += [service.submit(frame) for _ in range(2)]  # fills queue
-        assert service._submissions.qsize() == 2
+        assert service.stats()["queued"] == 2
         with pytest.raises(queue_mod.Full):
             service.submit(frame, timeout=0.05)
         # a blocking submit parks until the device frees a slot

@@ -390,6 +390,44 @@ def test_inproc_decoder_threading_matches_reference_contract(tmp_path):
         libav.LibavDecoder(str(tmp_path / "missing.mkv"))
 
 
+def test_inproc_encoder_error_unblocks_producers(tmp_path):
+    """An encoder failing mid-stream with its bounded queue FULL must not
+    deadlock producers or close(): the pump drains (dropping frames) and
+    the error surfaces on put()/close() (r4 review finding)."""
+    import threading
+    import time
+
+    libav = _inproc_or_skip()
+
+    class FailingEncoder:
+        frame_bytes = 16
+
+        def write(self, data):
+            raise IOError("disk full")
+
+        def close(self):
+            pass
+
+    writer = libav.EncoderWriter(FailingEncoder(), depth=2)
+    blocked = []
+
+    def producer():
+        try:
+            for _ in range(16):
+                writer.put(b"x" * 16)
+                time.sleep(0.001)
+        except IOError as exc:
+            blocked.append(exc)
+
+    thread = threading.Thread(target=producer)
+    thread.start()
+    thread.join(timeout=30)
+    assert not thread.is_alive()          # producer unblocked
+    assert blocked                        # ... via the surfaced error
+    with pytest.raises(IOError):
+        writer.close()                    # close() returns, reporting it
+
+
 def test_translate_encode_options():
     from watermarking_gpu_tpu.video.pipeline import _translate_encode_options
     codec, opts = _translate_encode_options(

@@ -257,19 +257,13 @@ class Watermark:
         image = as_device_input(image)
         batch = image.shape[0] if image.ndim == 3 else 1
         n = watermarks.shape[0]
-        from ..ops.pipelines import _wide_me_fallback
-        use_fused = impl == "pallas" and not _wide_me_fallback(
-            image, mask_type.value, self.p)
-        if use_fused:
-            # the pipeline additionally gates on the chunked kernel's own
-            # VMEM fit; where that fails it runs the XLA formulation, whose
-            # (B*chunk, H, W) u/e_u buffers must size the chunk (a chunk
-            # sized for the fused kernel would be ~2*batch times over the
-            # HBM budget, e.g. ME p=7 at 1080p)
-            from ..ops.pallas.fused import detect_many_supported
-            use_fused = detect_many_supported(n, self.rows, self.cols,
-                                              mask_type.value, self.p)
-        if use_fused:
+        # the ONE routing predicate the pipeline itself uses — where the
+        # fused kernel will not run, the XLA formulation's (B*chunk, H, W)
+        # u/e_u buffers must size the chunk (a chunk sized for the fused
+        # kernel would be ~2*batch times over the HBM budget)
+        from ..ops.pipelines import fused_detect_many_applies
+        if fused_detect_many_applies(n, self.rows, self.cols,
+                                     mask_type.value, self.p, impl):
             # fused multi-candidate kernel: no (B*N, H, W) u/e_u buffers —
             # the dominant HBM cost is the padded candidate bank itself
             # (~1.3x for the halo pad), so candidate chunks can be ~2B/batch

@@ -102,6 +102,17 @@ def _gate(value: jnp.ndarray, valid: jnp.ndarray,
                      fallback)
 
 
+def _wide_me_fallback_geometry(rows: int, cols: int, mask_type: str,
+                               p: int) -> bool:
+    """Geometry form of ``_wide_me_fallback`` (shape-only callers)."""
+    if mask_type != "me" or p == 3:
+        return False
+    from .pallas.fused import max_supported_cols
+    from .pallas.me_gram_wide import wide_gram_supported
+    return (not wide_gram_supported(rows, cols, p)
+            or cols > max_supported_cols(mask_type, p))
+
+
 def _wide_me_fallback(image: jnp.ndarray, mask_type: str, p: int) -> bool:
     """impl='pallas' with the generalized ME window (p>3) runs the FUSED
     wide pipeline (wide lag-Gram kernel + wide-ring fused tails) whenever
@@ -112,13 +123,23 @@ def _wide_me_fallback(image: jnp.ndarray, mask_type: str, p: int) -> bool:
     pipeline (XLA gram + Pallas predict kernel; 1080p p=5: 526 vs 438
     fps), which survives only as the predict routing inside
     ``detect_many_pipeline``'s fallback."""
-    if mask_type != "me" or p == 3:
-        return False
-    from .pallas.fused import max_supported_cols
-    from .pallas.me_gram_wide import wide_gram_supported
     rows, cols = image.shape[-2:]
-    return (not wide_gram_supported(rows, cols, p)
-            or cols > max_supported_cols(mask_type, p))
+    return _wide_me_fallback_geometry(rows, cols, mask_type, p)
+
+
+def fused_detect_many_applies(n: int, rows: int, cols: int, mask_type: str,
+                              p: int, impl: str) -> bool:
+    """Will ``detect_many_pipeline`` run the FUSED multi-candidate kernel
+    at this geometry? THE single source of truth for the routing — the
+    engine's HBM chunk sizing (``Watermark.detect_many``) must agree with
+    the pipeline's actual branch or chunks sized for the fused kernel's
+    small per-candidate estimate oversubscribe HBM ~2*batch-fold when the
+    XLA formulation really runs."""
+    if impl != "pallas" or _wide_me_fallback_geometry(rows, cols, mask_type,
+                                                      p):
+        return False
+    from .pallas.fused import detect_many_supported
+    return detect_many_supported(n, rows, cols, mask_type, p)
 
 
 def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
@@ -371,11 +392,7 @@ def detect_many_pipeline(image: jnp.ndarray, watermarks: jnp.ndarray,
     n, rows, cols = watermarks.shape
     batch_shape = image.shape[:-2]
     pred_p = p if mask_type == "me" else 3
-    use_fused = impl == "pallas" and not _wide_me_fallback(image, mask_type,
-                                                           p)
-    if use_fused:
-        from .pallas.fused import detect_many_supported
-        use_fused = detect_many_supported(n, rows, cols, mask_type, p)
+    use_fused = fused_detect_many_applies(n, rows, cols, mask_type, p, impl)
     if use_fused:
         from .pallas.fused import fused_detect_many_partials
         img3 = image.reshape((-1, rows, cols))

@@ -140,12 +140,10 @@ class _BatchingService:
     def _dispatch_loop(self):
         while True:
             items = []
-            item = self._submissions.get()
+            item = self._get_submission()
             if item is None:
                 self._inflight.put(None)
                 return
-            with self._close_lock:
-                self._queued -= 1
             items.append(item)
             # opportunistically fill the batch, waiting briefly for stragglers
             while len(items) < self.batch_size:
@@ -280,7 +278,8 @@ class _BatchingService:
                 "mean_batch_fill": (self._batched_frames
                                     / (batches * self.batch_size)
                                     if batches else 0.0),
-                "queued": self._submissions.qsize(),
+                "queued": self._queued,   # live frames (excludes the
+                                          # close sentinel, unlike qsize)
                 "inflight_batches": self._inflight.qsize(),
             }
 
@@ -307,8 +306,12 @@ class _BatchingService:
             if not self._closed:
                 self._closed = True
                 self._submissions.put(None)   # unbounded: never blocks
+        # one shared deadline across both joins — sequential full timeouts
+        # would make close(timeout=t) block up to 2t
+        deadline = None if timeout is None else time.monotonic() + timeout
         self._dispatcher.join(timeout)
-        self._collector.join(timeout)
+        self._collector.join(None if deadline is None
+                             else max(0.0, deadline - time.monotonic()))
         if not (self._dispatcher.is_alive() or self._collector.is_alive()):
             return True
         # wedged device: fail everything still unresolved so no caller hangs

@@ -138,7 +138,9 @@ class LibavDecoder:
             raise IOError(self._lib.wmd_error(self._handle).decode())
         if rc == 0:
             return None
-        return np.frombuffer(self._buf.raw, dtype=np.uint8).copy()
+        # one copy (frombuffer views the ctypes buffer; .raw would copy
+        # a second time on the decode hot path)
+        return np.frombuffer(self._buf, dtype=np.uint8).copy()
 
     def close(self):
         if self._handle:
@@ -182,6 +184,11 @@ class DecoderReader:
             except queue.Empty:
                 break
         self._thread.join(timeout=10)
+        if self._thread.is_alive():
+            # the pump is still inside wmd_read (wedged demuxer/IO):
+            # freeing the native decoder under it would be a
+            # use-after-free; leak the handle instead (daemon thread)
+            return
         self._decoder.close()
 
 
@@ -236,11 +243,15 @@ class EncoderWriter:
             data = self._queue.get()
             if data is None:
                 return
+            if self._error is not None:
+                continue   # drain: blocked producers/close() must unblock
             try:
                 self._encoder.write(data)
             except Exception as exc:
+                # record and KEEP CONSUMING (dropping frames) until the
+                # close sentinel — exiting here would leave producers
+                # blocked forever on the full bounded queue
                 self._error = exc
-                return
 
     def put(self, frame):
         data = frame.tobytes() if isinstance(frame, np.ndarray) else frame

@@ -53,7 +53,19 @@ class FrameSource:
         self._file = None
         self._inproc = None
         if not path.endswith(".yuv") and libav.available():
-            decoder = libav.LibavDecoder(path)
+            try:
+                decoder = libav.LibavDecoder(path)
+            except RuntimeError:
+                if not ff.ffmpeg_path():
+                    raise   # no subprocess fallback exists: surface it
+                # system libav may lack a demuxer/codec the full ffmpeg
+                # binary has — fall through to the subprocess decoder
+                print("NOTE: in-process decode could not open the input; "
+                      "falling back to the ffmpeg subprocess decoder")
+                decoder = None
+        else:
+            decoder = None
+        if decoder is not None:
             try:
                 # same contract + messages as the subprocess path: the
                 # reference aborts on non-4:2:0 (main.cpp:458-459); the
