@@ -13,7 +13,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from watermarking_gpu_tpu.models.batched import BatchedWatermark
-from watermarking_gpu_tpu.serving import DetectorService, EmbedderService
+from watermarking_gpu_tpu.serving import (DetectorService, EmbedderService,
+                                          IdentifierService)
 
 H, W, N = 360, 640, 32
 
@@ -40,6 +41,18 @@ def main():
     finally:
         embedder.close()
         detector.close()
+
+    # identification: which candidate does a frame carry? (the engine's
+    # own matrix is candidate 0 among decoys)
+    bank = np.stack([wm] + [rng.normal(size=(H, W)).astype(np.float32)
+                            for _ in range(7)])
+    identifier = IdentifierService(engine, bank, batch_size=8)
+    try:
+        scores = identifier.submit(marked[0]).result()
+        print(f"identified candidate {int(np.argmax(scores))} "
+              f"(scores: {np.round(scores, 3)})")
+    finally:
+        identifier.close()
 
 
 if __name__ == "__main__":

@@ -331,6 +331,11 @@ extern "C" void *wme_open(const char *path, int width, int height,
     return nullptr;
   }
   e->stream = avformat_new_stream(e->fmt, nullptr);
+  if (!e->stream) {
+    set_err(err, errlen, "Could not allocate output stream");
+    free_encoder(e);
+    return nullptr;
+  }
   avcodec_parameters_from_context(e->stream->codecpar, e->ctx);
   e->stream->time_base = e->ctx->time_base;
   rc = avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE);
