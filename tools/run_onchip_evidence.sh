@@ -25,9 +25,24 @@ timeout 1500 python bench.py | tee /tmp/bench_headline.json || exit 1
 echo "=== 3/5 full sweep ==="
 timeout 10800 python benchmarks.py --out BENCH_SWEEP.json || exit 1
 
-echo "=== 4/5 detect_many wide-budget calibration ==="
+echo "=== 4/6 detect_many wide-budget calibration ==="
 timeout 3600 python tools/calibrate_detect_many.py --p 5 7 9 \
     2>&1 | tee /tmp/calibrate_dm.log
 
-echo "=== 5/5 doc-number reconciliation ==="
+echo "=== 5/6 pinned AOT side-cache hot start (4K-3872 class) ==="
+timeout 1800 python tools/measure_hot_start.py --rows 2160 --cols 3872 \
+    2>&1 | tee /tmp/hot_start.log
+
+echo "=== 6/6 doc-number reconciliation ==="
 python tools/check_doc_numbers.py
+
+# Remaining manual steps after this script:
+#  - update DETECT_MANY_TOTAL_WIDE from /tmp/calibrate_dm.log, re-run
+#    tools/calibrate_detect_many.py --verify-only, add parity tests
+#  - reconcile every doc number to the refreshed BENCH_SWEEP.json until
+#    check_doc_numbers exits 0 (one consistent p=5 headline in
+#    README/PARITY/CLAUDE.md)
+#  - paste /tmp/hot_start.log numbers into docs/PERFORMANCE.md
+#  - optional: bench.py --profile /tmp/prof + pid3/tid3 aggregation for
+#    the p=3 glue attack (r3 VERDICT item 7); WIDE_TAIL_BF16 experiments
+#    (item 8: flip the flag, re-bisect tail_budget p=7/9, measure)
