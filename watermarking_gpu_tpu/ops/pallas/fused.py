@@ -79,20 +79,24 @@ def stencil_reach(mask_type: str, p: int) -> int:
     return 2 * (p // 2) if mask_type == "me" else 1 + p // 2
 
 
+# generalized-ME fused-tail strip budgets (f32 elements), chip-calibrated:
+# at p=5/1080p the 320k budget compiled to a 22.1 MB scoped allocation
+# against the 16 MB limit (and p=7 at 130k to 18.0 MB) — the measured
+# per-strip-element footprint fits ~40 + 2*(p*p-1) bytes (each tap's
+# scaled shift keeps a vreg-tiled temporary live); these keep the worst
+# case ~1.5 MB under the limit. tools/calibrate_wide_tail.py re-bisects
+# them (e.g. under WIDE_TAIL_BF16).
+TAIL_BUDGET_WIDE = {5: 180_000, 7: 104_000, 9: 72_000}
+
+
 def tail_budget(mask_type: str, p: int) -> int:
     """Strip-plane VMEM budget (f32 elements) for the fused tail kernels.
 
     The p=3 SHARED_BUDGET is calibrated for the 8-tap ring; the
     generalized-ME rings hold more live temporaries per strip row (each
-    tap's scaled shift, the deeper e_z/u rings), measured on the real
-    chip: at p=5/1080p the 320k budget compiled to a 22.1 MB scoped
-    allocation against the 16 MB limit (and p=7 at 130k to 18.0 MB), so
-    wider windows scale the budget down — the measured per-strip-element
-    footprint fits ~40 + 2*(p*p-1) bytes (each tap's scaled shift keeps a
-    vreg-tiled temporary live), and these constants keep the worst case
-    ~1.5 MB under the limit."""
+    tap's scaled shift, the deeper e_z/u rings) — see TAIL_BUDGET_WIDE."""
     if mask_type == "me" and p > 3:
-        return {5: 180_000, 7: 104_000, 9: 72_000}[p]
+        return TAIL_BUDGET_WIDE[p]
     return SHARED_BUDGET
 
 
