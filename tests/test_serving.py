@@ -404,6 +404,7 @@ def test_service_stats(engine, frames):
     assert stats["batches"] >= 3
     assert 0 < stats["mean_batch_fill"] <= 1.0
     assert stats["queued"] == 0
+    assert 0 < stats["mean_batch_latency_s"] <= stats["max_batch_latency_s"]
 
 
 def test_service_stats_counts_failures(engine):

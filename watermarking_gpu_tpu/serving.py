@@ -83,6 +83,9 @@ class _BatchingService:
         self._failed = 0
         self._batches = 0
         self._batched_frames = 0
+        self._latency_sum = 0.0
+        self._latency_max = 0.0
+        self._latency_count = 0
         # unresolved futures (guarded by _stats_lock): lets a timed-out
         # close() fail everything cleanly when the device never answers
         self._pending: set[Future] = set()
@@ -175,14 +178,15 @@ class _BatchingService:
         with self._stats_lock:
             self._batches += 1
             self._batched_frames += real
-        self._inflight.put((futures, device_result, real))
+        self._inflight.put((futures, device_result, real,
+                            time.monotonic()))
 
     def _collect_loop(self):
         while True:
             entry = self._inflight.get()
             if entry is None:
                 return
-            futures, device_result, real = entry
+            futures, device_result, real, dispatched_at = entry
             try:
                 host = [np.asarray(leaf) for leaf in
                         (device_result if isinstance(device_result, tuple)
@@ -193,10 +197,14 @@ class _BatchingService:
                 with self._stats_lock:
                     self._failed += real
                 continue
+            latency = time.monotonic() - dispatched_at
             for index, future in enumerate(futures[:real]):
                 self._resolve(future, host, index)
             with self._stats_lock:
                 self._completed += real
+                self._latency_sum += latency
+                self._latency_count += 1
+                self._latency_max = max(self._latency_max, latency)
 
     # -- public -------------------------------------------------------------
 
@@ -281,6 +289,12 @@ class _BatchingService:
                 "queued": self._queued,   # live frames (excludes the
                                           # close sentinel, unlike qsize)
                 "inflight_batches": self._inflight.qsize(),
+                # dispatch -> host-collected wall time per batch (includes
+                # device compute, queueing behind earlier batches, D2H)
+                "mean_batch_latency_s": (self._latency_sum
+                                         / self._latency_count
+                                         if self._latency_count else 0.0),
+                "max_batch_latency_s": self._latency_max,
             }
 
     def close(self, timeout: float | None = None) -> bool:
