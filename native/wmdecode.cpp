@@ -215,7 +215,11 @@ extern "C" int wmd_read(void *handle, unsigned char *dst) {
       if (ours) {
         rc = avcodec_send_packet(d->ctx, d->pkt);
         av_packet_unref(d->pkt);
-        if (rc < 0 && rc != AVERROR(EAGAIN)) {
+        if (rc < 0) {
+          // includes EAGAIN: we always drain receive_frame first, so a
+          // full decoder here is an anomaly — failing is honest, silently
+          // unref'ing would DROP the packet (ffmpeg contract: EAGAIN
+          // means not consumed)
           d->last_error = "send failed: " + av_err_str(rc);
           return -1;
         }
