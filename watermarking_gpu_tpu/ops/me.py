@@ -86,6 +86,11 @@ def gram_terms_from_padded(padded: jnp.ndarray, image: jnp.ndarray,
             # assembly — O(lags) ops instead of O(pairs) strip reductions
             return _gram_lags_vectorized(padded, image.shape[:-2], rows,
                                          cols, p)
+        # No production caller reaches this since r4 (me_normal_equations
+        # pads 3h whenever the image is wide enough, and the mesh path
+        # runs the sharded vectorized assembly at every shard height);
+        # kept as the safe formulation for direct callers with thin halos
+        # and as tools/bench_wide_gram.py's A/B baseline.
         return _gram_lags(padded, image.shape[:-2], rows, cols, p)
 
     # tiny images: direct per-pair product-reductions (the lag cores below
@@ -195,9 +200,10 @@ def _gram_lags_vectorized(padded: jnp.ndarray, batch_shape, rows: int,
 
     Requires halo ≥ 3h (row reach 2h for the lags plus the boundary banks'
     [−h, 3h) rows; ``me_normal_equations`` pads accordingly). The spatial
-    mesh path keeps ``_gram_lags``: its per-shard windows partition the
-    global pair sums across the halo exchange, while this assembly's
-    boundary corrections assume rows 0/H are the true image edges.
+    mesh path runs the SHARDED form of this same decomposition
+    (``parallel.spatial._gram_wide_sharded``: per-shard ``lag_partials``
+    + psum, boundary banks psum-broadcast from the edge shards) at every
+    shard height — multi-hop halos cover shards thinner than the reach.
     """
     from .pallas.me_gram_wide import _assemble_wide, wide_padded_row_provider
 
