@@ -59,9 +59,12 @@ def try_compile(total: int, rows: int, cols: int, n: int, mask: str,
     """
     old = _set_total(mask, p, total)
     try:
+        from watermarking_gpu_tpu.ops.pallas.common import lane_padded
+
         nc, pad, strip, rows_padded = fused.detect_many_chunk(
             n, rows, cols, mask, p)
-        if (strip + 2 * pad) * (cols + 2 * pad) > total // (2 * nc + 5):
+        if ((strip + 2 * pad) * lane_padded(cols + 2 * pad)
+                > total // (2 * nc + 5)):
             return False, "minimum strip does not fit this numerator"
         k = p * p - 1 if mask == "me" else 8
         fn = jax.jit(lambda img, wms, coeffs: fused.fused_detect_many_partials(

@@ -35,6 +35,26 @@ def round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def lane_padded(width: int) -> int:
+    """VMEM lane footprint of one row: vregs tile the lane dim to 128.
+
+    Every strip-plane VMEM budget must divide by THIS width, not the
+    logical one — at narrow widths the padding is material (528 lanes
+    allocate 640, +21%) and the unpadded model overflows the 16 MB scoped
+    limit where the per-element live set is large (observed on chip: the
+    p=9 fused detect tail at 512x512 allocated 16.48 MB against a model
+    that said ~14.4 MB).
+    """
+    return round_up(width, 128)
+
+
+def budget_rows(budget_elems: int, cols: int, pad: int) -> int:
+    """Largest 8-aligned strip whose halo-extended, lane-padded plane
+    fits ``budget_elems``: (strip + 2*pad) * lane_padded(cols + 2*pad)."""
+    strip = budget_elems // lane_padded(cols + 2 * pad) - 2 * pad
+    return max(8, strip // 8 * 8)
+
+
 def pick_strip(rows: int, strip: int = DEFAULT_STRIP,
                pad: int = 4) -> tuple[int, int]:
     """Return (strip_rows, padded_rows) with strip % 8 == 0, strip | padded.
@@ -57,15 +77,15 @@ def pick_strip(rows: int, strip: int = DEFAULT_STRIP,
 
 def pick_strip_for_width(rows: int, cols: int, budget_elems: int,
                          pad: int = 4) -> tuple[int, int]:
-    """Width-adaptive strip: (strip + 2*pad) * (cols + 2*pad) <= budget.
+    """Width-adaptive strip: (strip + 2*pad) * lane_padded(cols + 2*pad)
+    <= budget.
 
     Keeps each kernel's VMEM working set roughly constant across image widths
     (Mosaic's scoped-vmem stack is ~16 MB; budgets are calibrated per kernel
-    from their live temporaries at 1080p).
+    from their live temporaries at 1080p). The divisor is the lane-PADDED
+    width (``lane_padded``) because that is what VMEM actually allocates.
     """
-    strip = budget_elems // (cols + 2 * pad) - 2 * pad
-    strip = max(8, strip // 8 * 8)
-    return pick_strip(rows, strip, pad)
+    return pick_strip(rows, budget_rows(budget_elems, cols, pad), pad)
 
 
 RAW_PAD = 8  # raw-mode halo: multiple of the f32 sublane tile, so every

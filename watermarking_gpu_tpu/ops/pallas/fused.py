@@ -109,14 +109,13 @@ def pipeline_geometry(rows: int, cols: int, mask_type: str,
     strip, a pick capped at half the rows restores >= 2 strips — measured
     faster than losing raw mode (512^2: 23k vs 21k fps round trips).
     """
-    from .common import pick_strip, raw_mode_ok
+    from .common import budget_rows, pick_strip, raw_mode_ok
 
     budget = tail_budget(mask_type, p)
     pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
     strip, rows_padded = pick_strip_for_width(rows, cols, budget, pad)
     if not raw_mode_ok(rows, strip, rows_padded):
-        budget_strip = max(8, (budget // (cols + 2 * pad) - 2 * pad)
-                           // 8 * 8)
+        budget_strip = budget_rows(budget, cols, pad)
         capped = max(8, rows // 2 // 8 * 8)
         strip2, rows_padded2 = pick_strip(rows, min(budget_strip, capped),
                                           pad)
@@ -140,7 +139,10 @@ def max_supported_cols(mask_type: str = "me", p: int = 3) -> int:
     CL_DEVICE_IMAGE2D_MAX_WIDTH).
     """
     pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
-    return tail_budget(mask_type, p) // (8 + 2 * pad) - 2 * pad
+    # the lane-padded (cols + 2*pad) must fit budget // (8 + 2*pad):
+    # round the padded-width bound DOWN to the vreg lane tile
+    padded_bound = tail_budget(mask_type, p) // (8 + 2 * pad) // 128 * 128
+    return padded_bound - 2 * pad
 
 
 def _error_region(ext, coeffs, base, span, width, p=3):
@@ -471,7 +473,7 @@ def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
     generalized-ME numerators live in DETECT_MANY_TOTAL_WIDE
     (tools/calibrate_detect_many.py is the measurement harness).
     """
-    from .common import pick_strip, raw_mode_ok
+    from .common import budget_rows, pick_strip, raw_mode_ok
 
     pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
     nc = min(8, n)
@@ -481,8 +483,7 @@ def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
     if not raw_mode_ok(rows, strip, rows_padded):
         capped = max(8, rows // 2 // 8 * 8)
         strip2, rows_padded2 = pick_strip(
-            rows, min(max(8, budget // (cols + 2 * pad) - 2 * pad), capped),
-            pad)
+            rows, min(budget_rows(budget, cols, pad), capped), pad)
         if raw_mode_ok(rows, strip2, rows_padded2):
             return nc, pad, strip2, rows_padded2
     return nc, pad, strip, rows_padded
@@ -494,9 +495,11 @@ def detect_many_supported(n: int, rows: int, cols: int, mask_type: str,
     minimum 8-row strip (plus halos) must fit the chunk VMEM budget;
     callers fall back to the shared-analysis XLA formulation otherwise
     (``pipelines.detect_many_pipeline``)."""
+    from .common import lane_padded
+
     nc, pad, _, _ = detect_many_chunk(n, rows, cols, mask_type, p)
     total = detect_many_total(mask_type, p)
-    return (8 + 2 * pad) * (cols + 2 * pad) <= total // (2 * nc + 5)
+    return (8 + 2 * pad) * lane_padded(cols + 2 * pad) <= total // (2 * nc + 5)
 
 
 def _detect_many_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,

@@ -116,9 +116,11 @@ def wide_gram_supported(rows: int, cols: int, p: int) -> bool:
     few halo-widths of real image (same threshold as the XLA lag path,
     ``ops/me.py::gram_terms_from_padded``), and the minimum 8-row strip
     must fit the VMEM budget."""
+    from .common import lane_padded
+
     h, pad = p // 2, wide_pad(p)
     return (p in (5, 7, 9) and rows >= 6 * h and cols >= 6 * h
-            and (8 + 2 * pad) * (cols + 2 * pad) <= BUDGET)
+            and (8 + 2 * pad) * lane_padded(cols + 2 * pad) <= BUDGET)
 
 
 def wide_gram_geometry(rows: int, cols: int, p: int) -> tuple[int, int]:
@@ -126,13 +128,12 @@ def wide_gram_geometry(rows: int, cols: int, p: int) -> tuple[int, int]:
     geometry: when the unconstrained pick lands on a single strip, a pick
     capped at half the rows restores >= 2 strips so the zero-copy raw path
     applies (same trade as ``fused.pipeline_geometry``)."""
-    from .common import pick_strip
+    from .common import budget_rows, pick_strip
 
     pad = wide_pad(p)
     strip, rows_padded = pick_strip_for_width(rows, cols, BUDGET, pad)
     if not raw_mode_ok(rows, strip, rows_padded, pad):
-        budget_strip = max(8, (BUDGET // (cols + 2 * pad) - 2 * pad)
-                           // 8 * 8)
+        budget_strip = budget_rows(BUDGET, cols, pad)
         capped = max(8, rows // 2 // 8 * 8)
         strip2, rows_padded2 = pick_strip(rows, min(budget_strip, capped),
                                           pad)

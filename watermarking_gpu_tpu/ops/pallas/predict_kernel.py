@@ -43,8 +43,11 @@ def predict_supported(cols: int, p: int = 3) -> bool:
     (plus halos) must fit the p-scaled VMEM budget; callers outside the
     envelope (``pipelines.detect_many_pipeline``'s non-fused branch) run
     the XLA formulation instead."""
+    from .common import lane_padded
+
     return (p // 2 <= PAD
-            and (8 + 2 * PAD) * (cols + 2 * PAD) <= predict_budget(p))
+            and (8 + 2 * PAD) * lane_padded(cols + 2 * PAD)
+            <= predict_budget(p))
 
 
 def _predict_error_kernel(coeffs_ref, pin, pout, *, pad: int, strip: int,
@@ -75,7 +78,8 @@ def prediction_error_pallas(image: jnp.ndarray, coefficients: jnp.ndarray,
     if strip is None:
         budget = predict_budget(p)
         strip, rows_padded = pick_strip_for_width(rows, cols, budget, PAD)
-        if (strip + 2 * PAD) * (cols + 2 * PAD) > budget:
+        from .common import lane_padded
+        if (strip + 2 * PAD) * lane_padded(cols + 2 * PAD) > budget:
             # pick_strip_for_width clamps to the 8-row minimum strip; at
             # p=9 on wide images even that exceeds the scoped-VMEM budget
             # (the live set is one (strip+2*PAD)-row plane per tap), so the
