@@ -364,11 +364,31 @@ def video_embed_disk_soak(rows=1080, cols=1920, frames=240, batch=8):
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def _record(report, out_path, key, thunk) -> bool:
+    """Run one sweep row, catching failures and flushing incrementally.
+
+    A 2-hour sweep must never lose its completed rows to one bad row (a
+    tunnel hiccup mid-run cost the r4 evidence chain exactly that): every
+    row is written to ``out_path`` as soon as it lands, and a row that
+    raises records ``{"error": ...}`` instead of aborting the sweep."""
+    try:
+        report["results"][key] = thunk()
+    except Exception as exc:  # noqa: BLE001 — record and move on
+        report["results"][key] = {"error": f"{type(exc).__name__}: {exc}"}
+    print(key, report["results"][key], flush=True)
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    return "error" not in report["results"][key]
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="BENCH_SWEEP.json")
     parser.add_argument("--quick", action="store_true",
                         help="512 + 1080p only, fewer iterations")
+    parser.add_argument("--only", nargs="*", default=None,
+                        help="run only rows whose name contains any of "
+                             "these substrings (re-runs merge into --out)")
     parser.add_argument("--cache-dir", default=None,
                         help="persistent compile cache ('' disables; "
                              "default: per-user temp dir)")
@@ -382,11 +402,24 @@ def main():
 
     impl = default_impl()
     report = {"impl": impl, "device": str(jax.devices()[0]), "results": {}}
+    if args.only and os.path.exists(args.out):
+        # partial re-run: keep the other rows of the existing artifact
+        prior = json.load(open(args.out))
+        if prior.get("device") == report["device"]:
+            report["results"] = prior.get("results", {})
+
+    def wanted(key: str) -> bool:
+        return not args.only or any(s in key for s in args.only)
+
     sizes = {k: v for k, v in SIZES.items()
              if not (args.quick and k.startswith("4k"))}
     iters = (4, 12) if args.quick else (6, 24)
+    failed = 0
 
     for name, (rows, cols, image_file) in sizes.items():
+        size_keys = [f"embed_detect_{name}_{m}" for m in ("me", "nvf")]
+        if not any(wanted(k) for k in size_keys):
+            continue
         batch = 8 if rows <= 1080 else 2
         frames = load_frames(rows, cols, image_file, batch)
         watermark = generate_watermark(rows, cols, 28390211).astype(
@@ -396,9 +429,11 @@ def main():
         size_iters = iters if rows >= 1080 else (iters[0] * 16, iters[1] * 16)
         for mask_type in ("me", "nvf"):
             key = f"embed_detect_{name}_{mask_type}"
-            report["results"][key] = measure_roundtrip(
-                frames, watermark, mask_type, impl, size_iters)
-            print(key, report["results"][key], flush=True)
+            if wanted(key):
+                failed += not _record(
+                    report, args.out, key,
+                    lambda f=frames, w=watermark, m=mask_type,
+                    si=size_iters: measure_roundtrip(f, w, m, impl, si))
 
     # generalized ME at p in {5, 7, 9} (framework extension; the reference
     # rejects ME at p != 3, main.cpp:88-89) — the engines' routing: the
@@ -412,45 +447,51 @@ def main():
                        ("1080p", 9, iters[0], iters[1]),
                        ("4k", 5, iters[0], iters[1])]
     for name, p, ks, kl in wide_cases:
+        key = f"embed_detect_{name}_me_p{p}"
+        if not wanted(key):
+            continue
         rows, cols, image_file = SIZES[name]
         frames = load_frames(rows, cols, image_file,
                              8 if rows <= 1080 else 2)
         watermark = generate_watermark(rows, cols, 28390211).astype(
             np.float32)
-        key = f"embed_detect_{name}_me_p{p}"
-        report["results"][key] = measure_roundtrip(
-            frames, watermark, "me", "pallas", (ks, kl), p=p)
-        print(key, report["results"][key], flush=True)
+        failed += not _record(
+            report, args.out, key,
+            lambda f=frames, w=watermark, k=(ks, kl),
+            pp=p: measure_roundtrip(f, w, "me", "pallas", k, p=pp))
 
-    report["results"]["detect_many_512_n64"] = detect_many_benchmark()
-    if not args.quick:
+    if wanted("detect_many_512_n64"):
+        failed += not _record(report, args.out, "detect_many_512_n64",
+                              detect_many_benchmark)
+    if not args.quick and wanted("detect_many_1080p_n64_p5"):
         # identification at a generalized window on a production frame
         # size (r3 VERDICT item 3's done-bar row); fused when the chunked
         # kernel's calibrated budget admits the geometry
         from watermarking_gpu_tpu.ops.pallas.fused import \
             detect_many_supported
-        row = detect_many_benchmark(rows=1080, cols=1920, n=64,
-                                    iters=(2, 6), reps=4, p=5)
-        row["fused"] = bool(detect_many_supported(64, 1080, 1920, "me", 5))
-        report["results"]["detect_many_1080p_n64_p5"] = row
-        print("detect_many_1080p_n64_p5", row, flush=True)
-    print("detect_many_512_n64", report["results"]["detect_many_512_n64"],
-          flush=True)
-    report["results"]["video_detect_1080p"] = video_detect_benchmark()
-    print("video_detect_1080p", report["results"]["video_detect_1080p"],
-          flush=True)
-    report["results"]["video_embed_1080p_interval1"] = video_embed_benchmark()
-    print("video_embed_1080p_interval1",
-          report["results"]["video_embed_1080p_interval1"], flush=True)
-    report["results"]["video_embed_1080p_local_disk"] = \
-        video_embed_disk_soak()
-    print("video_embed_1080p_local_disk",
-          report["results"]["video_embed_1080p_local_disk"], flush=True)
 
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=2)
-    print(f"wrote {args.out}")
+        def dm_1080p():
+            row = detect_many_benchmark(rows=1080, cols=1920, n=64,
+                                        iters=(2, 6), reps=4, p=5)
+            row["fused"] = bool(detect_many_supported(64, 1080, 1920,
+                                                      "me", 5))
+            return row
+
+        failed += not _record(report, args.out, "detect_many_1080p_n64_p5",
+                              dm_1080p)
+    if wanted("video_detect_1080p"):
+        failed += not _record(report, args.out, "video_detect_1080p",
+                              video_detect_benchmark)
+    if wanted("video_embed_1080p_interval1"):
+        failed += not _record(report, args.out, "video_embed_1080p_interval1",
+                              video_embed_benchmark)
+    if wanted("video_embed_1080p_local_disk"):
+        failed += not _record(report, args.out, "video_embed_1080p_local_disk",
+                              video_embed_disk_soak)
+
+    print(f"wrote {args.out}" + (f" ({failed} rows FAILED)" if failed else ""))
+    return 2 if failed else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

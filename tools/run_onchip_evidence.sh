@@ -23,7 +23,11 @@ echo "=== 2/5 headline bench ==="
 timeout 1500 python bench.py | tee /tmp/bench_headline.json || exit 1
 
 echo "=== 3/5 full sweep ==="
-timeout 10800 python benchmarks.py --out BENCH_SWEEP.json || exit 1
+# exit 2 = some rows recorded {"error": ...} (e.g. a tunnel hiccup);
+# completed rows are flushed incrementally — keep going, re-run the
+# failed rows later with `benchmarks.py --only <row> ...` (merges).
+timeout 10800 python benchmarks.py --out BENCH_SWEEP.json
+[ $? -eq 1 ] && exit 1
 
 echo "=== 4/6 detect_many wide-budget calibration ==="
 timeout 3600 python tools/calibrate_detect_many.py --p 5 7 9 \
