@@ -103,6 +103,55 @@ def test_pinned_aot_side_cache_reuses_executable(rng, tmp_path,
     assert events == ["store", "load", "load", "store"]
 
 
+def test_pinned_aot_side_cache_quarantines_mangled_reload(rng, tmp_path,
+                                                          monkeypatch):
+    """A reload whose PROBE EXECUTION returns arrays with non-pinned
+    layout tags (the TPU/axon failure the metadata check cannot see —
+    the r4 sweep's BatchedWatermark INVALID_ARGUMENT crashes) must be
+    discarded, recompiled live, and its key quarantined so later
+    processes skip deserialization entirely."""
+    import watermarking_gpu_tpu.utils.layouts as layouts
+
+    monkeypatch.setenv("WMTPU_PINNED_CACHE", str(tmp_path))
+
+    def f(a):
+        return a * 2.0
+
+    a = jnp.asarray(rng.normal(size=(48, 32)).astype(np.float32))
+    want = np.asarray(jax.jit(f)(a))
+
+    np.testing.assert_allclose(
+        np.asarray(layouts.pinned_jit(f, force_pin=True)(a)), want,
+        rtol=1e-6)
+    assert len(list(tmp_path.glob("*.aot"))) == 1
+
+    # simulate the axon mangle: the reloaded executable "returns" arrays
+    # whose tags fail the probe check
+    events = []
+    real_load = layouts._aot_load
+    monkeypatch.setattr(layouts, "_aot_load",
+                        lambda *args: events.append("load") or
+                        real_load(*args))
+    monkeypatch.setattr(layouts, "_outputs_well_tagged",
+                        lambda result, out_s: False)
+    got = layouts.pinned_jit(f, force_pin=True)(a)   # fresh instance
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    assert events == ["load"]
+    # the entry is gone, a quarantine marker stands, nothing re-stored
+    assert len(list(tmp_path.glob("*.aot"))) == 0
+    assert len(list(tmp_path.glob("*.quarantine"))) == 1
+
+    # a third instance (next process) must NOT attempt deserialization —
+    # straight to the live compile, still correct
+    monkeypatch.setattr(layouts, "_outputs_well_tagged",
+                        lambda result, out_s: pytest.fail(
+                            "probe ran despite quarantine"))
+    got3 = layouts.pinned_jit(f, force_pin=True)(a)
+    np.testing.assert_allclose(np.asarray(got3), want, rtol=1e-6)
+    assert events == ["load"]
+    assert len(list(tmp_path.glob("*.aot"))) == 0   # quarantined: no store
+
+
 def test_engine_pinned_programs_warm_start_from_side_cache(rng, tmp_path,
                                                            monkeypatch):
     """Engine-level integration: a FLIP-PRONE geometry (transposed layout

@@ -88,16 +88,41 @@ def try_compile(total: int, rows: int, cols: int, n: int, mask: str,
         _set_total(mask, p, old)
 
 
+def _min_strip_total(rows: int, cols: int, n: int, mask: str, p: int) -> int:
+    """Smallest ``total`` that admits the 8-row minimum strip at this
+    geometry — numerators below this fail with "minimum strip does not
+    fit", which needs a LARGER total, not a smaller one."""
+    import watermarking_gpu_tpu.ops.pallas.fused as fused_mod
+    from watermarking_gpu_tpu.ops.pallas.common import lane_padded
+
+    pad = 4 if fused_mod.stencil_reach(mask, p) <= 4 else 8
+    nc = min(8, n)
+    return (8 + 2 * pad) * lane_padded(cols + 2 * pad) * (2 * nc + 5)
+
+
 def calibrate(rows: int, cols: int, n: int, mask: str, p: int,
               lo: int, hi_cap: int, step: int = 64_000) -> int:
     """Largest ``total`` (granularity ``step``) that compiles."""
+    # a ``lo`` below the min-strip threshold can never compile — the fit
+    # check fails in the "too small" direction; start the search at the
+    # first total that admits the minimum strip (the r4 p=7/9 campaign
+    # bisected DOWNWARD from there and wrongly concluded "unsupported")
+    floor = _min_strip_total(rows, cols, n, mask, p)
+    if lo < floor:
+        lo = -(-floor // step) * step
+        print(f"  raising start to min-strip total {lo}", flush=True)
     ok, detail = try_compile(lo, rows, cols, n, mask, p)
     print(f"  total={lo:>9}: {'ok' if ok else 'FAIL'} ({detail})",
           flush=True)
     if not ok:
-        # current value already overflows: bisect downward
+        # current value already overflows: bisect downward (but never
+        # below the min-strip floor)
         hi = lo
-        lo = step
+        lo = max(step, -(-floor // step) * step)
+        if lo >= hi:
+            raise SystemExit(
+                "the min-strip total itself overflows scoped VMEM: the "
+                "chunked kernel cannot run at this geometry/p")
         ok, detail = try_compile(lo, rows, cols, n, mask, p)
         print(f"  total={lo:>9}: {'ok' if ok else 'FAIL'} ({detail})",
               flush=True)

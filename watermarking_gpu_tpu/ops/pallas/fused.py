@@ -434,14 +434,16 @@ def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
 
 # chunked multi-candidate kernel's total VMEM numerator (f32 elements) per
 # generalized-ME window; p=3 (and NVF at every p) uses DETECT_MANY_TOTAL.
-# Values from the on-chip compile-verification campaign
-# (tools/calibrate_detect_many.py) pending; until then the conservative
-# tail_budget ratio stands (the generalized rings/taps keep more live
-# temporaries per strip row, but the chunked kernel's own footprint was
-# never measured at p>3).
+# p=5 is from the on-chip compile-verification campaign
+# (tools/calibrate_detect_many.py @ 1080p/n=64: ceiling 2,368,000 with a
+# 10% margin; fused-vs-XLA parity 2.5e-08) — it lifts the 1080p strip
+# from 24 to 40 rows. p=7/9 still carry the conservative tail_budget
+# ratio pending their own campaign (at 1080p widths those totals cannot
+# admit even the 8-row minimum strip, so detect_many_supported routes
+# them to the XLA formulation).
 DETECT_MANY_TOTAL = 2_600_000
 DETECT_MANY_TOTAL_WIDE = {
-    5: DETECT_MANY_TOTAL * 180_000 // SHARED_BUDGET,   # 1_462_500
+    5: 2_128_000,                                      # chip-calibrated
     7: DETECT_MANY_TOTAL * 104_000 // SHARED_BUDGET,   # 845_000
     9: DETECT_MANY_TOTAL * 72_000 // SHARED_BUDGET,    # 585_000
 }

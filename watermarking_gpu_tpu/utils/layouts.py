@@ -59,9 +59,15 @@ def pinned_cache_dir() -> str | None:
     flip-prone geometries (~2 min/shape for the fused detect tail through
     the remote compile helper). Instead ``pinned_jit`` serializes its
     AOT-compiled executables itself (``jax.experimental
-    .serialize_executable``) and reloads them here, re-checking the output
-    layout tags on every load — a mangled reload is discarded and
-    recompiled, so the cache can only ever save time, not correctness.
+    .serialize_executable``) and reloads them here, validating every load
+    TWICE: the executable's output-format metadata, then the layout tags
+    of the arrays one probe execution actually returns (on the TPU axon
+    stack the metadata can read pinned while the returned arrays are
+    tagged transposed — ``_outputs_well_tagged``). A mangled reload is
+    discarded, its key quarantined (``<digest>.aot.quarantine``) so later
+    processes skip straight to the live compile, and the program is
+    recompiled in-process — the cache can only ever save time, not
+    correctness.
 
     Override with ``WMTPU_PINNED_CACHE=<dir>``; disable with
     ``WMTPU_PINNED_CACHE=off``.
@@ -107,6 +113,33 @@ def _aot_load(path: str, out_s, dev):
         raise ValueError("reloaded executable lost its pinned output "
                          "layout tags")
     return loaded
+
+
+def _outputs_well_tagged(result, out_s) -> bool:
+    """Do the ARRAYS a reloaded executable actually returned carry the
+    pinned layout tags?
+
+    The metadata check above is necessary but NOT sufficient: on the
+    TPU (axon) stack, a ``deserialize_and_load``-ed executable can report
+    row-major ``output_formats`` while the arrays it returns at execution
+    time are tagged with the auto-preferred transposed layout — and any
+    consumer that trusts the tag (another jit entry, ``device_put``, even
+    a relayout) then dies with ``INVALID_ARGUMENT`` at dispatch (observed:
+    the r4 sweep's BatchedWatermark rows). Only executing once and
+    inspecting the real output tags catches this.
+    """
+    expected = jax.tree.leaves(out_s, is_leaf=lambda x: x is None)
+    got = jax.tree.leaves(result)
+    if len(expected) != len(got):
+        return False
+    for want, have in zip(expected, got):
+        if want is None:
+            continue
+        fmt = getattr(have, "format", None)
+        if fmt is None or (tuple(fmt.layout.major_to_minor)
+                           != tuple(want.layout.major_to_minor)):
+            return False
+    return True
 
 
 def _aot_store(path: str, compiled) -> None:
@@ -242,7 +275,21 @@ def pinned_jit(fun, force_pin: bool = False):
                 # (pinned_cache_dir): executables serialized after
                 # compile, tag-checked on reload.
                 with _compile_lock, _no_persistent_cache():
-                    lowered = jitted.lower(*flat)
+                    try:
+                        lowered = jitted.lower(*flat)
+                    except ValueError as e:
+                        if "layout" not in str(e).lower():
+                            raise
+                        # an argument arrived with a non-row-major tag
+                        # (produced by an auto-layout jit elsewhere);
+                        # jit.lower rejects it against the pinned
+                        # in_shardings before the call-time heal below can
+                        # run. Relayout once and lower (and later call)
+                        # against the healed args.
+                        flat = tuple(a if a is None or f is None
+                                     else jax.device_put(a, f)
+                                     for a, f in zip(flat, in_s))
+                        lowered = jitted.lower(*flat)
                     side_dir = pinned_cache_dir()
                     path = None
                     if side_dir is not None:
@@ -254,7 +301,10 @@ def pinned_jit(fun, force_pin: bool = False):
                             ]).encode()).hexdigest()
                         path = os.path.join(side_dir, f"{digest}.aot")
                     compiled = None
-                    if path is not None and os.path.exists(path):
+                    quarantined = (path is not None
+                                   and os.path.exists(path + ".quarantine"))
+                    if (path is not None and not quarantined
+                            and os.path.exists(path)):
                         try:
                             compiled = _aot_load(path, out_s, dev)
                         except Exception:
@@ -262,9 +312,35 @@ def pinned_jit(fun, force_pin: bool = False):
                             with contextlib.suppress(OSError):
                                 os.remove(path)
                             compiled = None
+                    if compiled is not None:
+                        # validate by EXECUTION: reloaded executables can
+                        # pass the metadata check yet return arrays with
+                        # mangled layout tags (_outputs_well_tagged doc).
+                        # One probe execution per process is cheap against
+                        # the ~2 min compile the cache saves when healthy.
+                        try:
+                            probe = jax.block_until_ready(compiled(*flat))
+                            ok = _outputs_well_tagged(probe, out_s)
+                        except Exception:
+                            ok = False
+                        if not ok:
+                            # this stack cannot round-trip this executable:
+                            # quarantine the key so later processes skip
+                            # straight to the live compile (no wasted
+                            # probe), and never re-store it
+                            compiled = None
+                            quarantined = True
+                            with contextlib.suppress(OSError):
+                                os.remove(path)
+                            with contextlib.suppress(OSError):
+                                with open(path + ".quarantine", "w") as fh:
+                                    fh.write("deserialize_and_load returned "
+                                             "an executable whose output "
+                                             "arrays carry non-pinned "
+                                             "layout tags\n")
                     if compiled is None:
                         compiled = lowered.compile()
-                        if path is not None:
+                        if path is not None and not quarantined:
                             with contextlib.suppress(Exception):
                                 _aot_store(path, compiled)
                     entry = cache[key] = (compiled, in_s)
