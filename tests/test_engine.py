@@ -226,15 +226,19 @@ def test_warmup(small_image, small_watermark):
 
 @pytest.mark.parametrize("mask,impl,p", [
     ("me", "xla", 3), ("me", "pallas", 3), ("me", "xla", 5),
-    ("me", "pallas", 5),
+    ("me", "pallas", 5), ("me", "pallas", 7), ("me", "xla", 9),
+    ("me", "pallas", 9),
     ("nvf", "xla", 3), ("nvf", "xla", 5), ("nvf", "pallas", 5)])
 def test_detect_many_matches_looped_detect(small_image, rng, mask, impl, p):
     """detect_many (one dispatch, analysis shared across N candidates)
     agrees with N independent detect_pipeline calls — for both mask types
     (the NVF branch shares the nvf_mask + p=3 predictor analysis). The
     pallas rows run the fused multi-candidate kernel (one strip pass per
-    candidate chunk); me/pallas/5 additionally routes its analysis through
-    the wide lag-Gram kernel."""
+    candidate chunk); me/pallas at p>3 additionally routes its analysis
+    through the wide lag-Gram kernel. The p=7/9 rows pin the chunked
+    kernel at the chip-calibrated DETECT_MANY_TOTAL_WIDE budgets that
+    admit the generalized windows (interpreter-mode parity; on-chip
+    parity 2e-08, tools/calibrate_detect_many.py --verify-only)."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_many_pipeline,
                                                     detect_pipeline)
     h, w = small_image.shape

@@ -434,18 +434,18 @@ def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
 
 # chunked multi-candidate kernel's total VMEM numerator (f32 elements) per
 # generalized-ME window; p=3 (and NVF at every p) uses DETECT_MANY_TOTAL.
-# p=5 is from the on-chip compile-verification campaign
-# (tools/calibrate_detect_many.py @ 1080p/n=64: ceiling 2,368,000 with a
-# 10% margin; fused-vs-XLA parity 2.5e-08) — it lifts the 1080p strip
-# from 24 to 40 rows. p=7/9 still carry the conservative tail_budget
-# ratio pending their own campaign (at 1080p widths those totals cannot
-# admit even the 8-row minimum strip, so detect_many_supported routes
-# them to the XLA formulation).
+# All three are from the on-chip compile-verification campaign
+# (tools/calibrate_detect_many.py @ 1080p/n=64, ~10% margin under the
+# measured scoped-vmem ceilings 2,368,000 / 2,048,000 / 1,344,000):
+# the fused multi-candidate kernel now admits 1080p at every window
+# (strips 40 / 24 / 8; the r3-era tail_budget-ratio values could not even
+# fit the 8-row minimum strip at p=7/9, so identification fell back to
+# the XLA formulation exactly where it is most expensive).
 DETECT_MANY_TOTAL = 2_600_000
 DETECT_MANY_TOTAL_WIDE = {
-    5: 2_128_000,                                      # chip-calibrated
-    7: DETECT_MANY_TOTAL * 104_000 // SHARED_BUDGET,   # 845_000
-    9: DETECT_MANY_TOTAL * 72_000 // SHARED_BUDGET,    # 585_000
+    5: 2_128_000,
+    7: 1_840_000,
+    9: 1_208_000,
 }
 
 
