@@ -294,25 +294,28 @@ def test_detect_many_chunks_candidate_axis(small_image, rng, monkeypatch):
 
 
 def test_detect_many_wide_me_downgrades_instead_of_raising(rng):
-    """ME p=9 at 1080p-class widths: the chunked kernel's VMEM gate fails
+    """ME p=9 at 4K-class widths: the chunked kernel's VMEM gate fails
     AND the strip predict kernel cannot fit the width, so the non-fused
     branch must downgrade to the XLA formulation instead of letting
     prediction_error_pallas raise (r3 advisor high finding). Trace-only
-    at the true 1080p geometry; numeric parity at a short-row variant."""
+    at the true 4K geometry; numeric parity at a short-row variant.
+
+    (The r4 chip calibration raised the chunked budgets so 1080p p=9 now
+    runs FUSED — the unsupported frontier moved out to 4K widths.)"""
     from watermarking_gpu_tpu.ops.pallas.fused import detect_many_supported
     from watermarking_gpu_tpu.ops.pallas.predict_kernel import \
         predict_supported
     from watermarking_gpu_tpu.ops.pipelines import detect_many_pipeline
 
-    assert not detect_many_supported(4, 1080, 1920, "me", 9)
-    assert not predict_supported(1920, 9)
+    assert not detect_many_supported(4, 2160, 3840, "me", 9)
+    assert not predict_supported(3840, 9)
     out = jax.eval_shape(
         partial(detect_many_pipeline, mask_type="me", p=9, impl="pallas"),
-        jax.ShapeDtypeStruct((1080, 1920), jnp.float32),
-        jax.ShapeDtypeStruct((4, 1080, 1920), jnp.float32))
+        jax.ShapeDtypeStruct((2160, 3840), jnp.float32),
+        jax.ShapeDtypeStruct((4, 2160, 3840), jnp.float32))
     assert out.shape == (4,)
 
-    h, w = 48, 1536            # same routing, cheap enough to execute
+    h, w = 48, 2560            # same routing, cheap enough to execute
     assert not detect_many_supported(8, h, w, "me", 9)
     assert not predict_supported(w, 9)
     img = rng.normal(120.0, 30.0, size=(h, w)).astype(np.float32)
@@ -331,7 +334,8 @@ def test_detect_many_chunk_budget_uses_fallback_estimate(rng, monkeypatch):
     per-candidate estimate (r3 advisor medium finding)."""
     import watermarking_gpu_tpu.models.watermark as wm_mod
 
-    h, w = 64, 1536            # ME p=9: fused unsupported at this width
+    h, w = 64, 2560            # ME p=9: fused unsupported at this width
+                               # (post-r4-calibration frontier; 1536 fits now)
     seen = []
 
     def stub_pipeline(image, watermarks, mask_type, p, impl):

@@ -196,15 +196,40 @@ def _nbytes(spec) -> int:
 
 @contextlib.contextmanager
 def _no_persistent_cache():
+    """Make compiles inside the block genuinely skip jax's persistent
+    compilation cache.
+
+    Toggling ``jax_enable_compilation_cache`` is NOT enough:
+    ``compilation_cache.is_cache_used`` memoizes its answer in module
+    globals on the first compile of the process, so once anything
+    compiled with the cache on, the config flag is never consulted again
+    — and "pinned" compiles silently became persistent-cache READS,
+    returning executables with mangled layout metadata (the exact
+    poisoning the opt-out exists to avoid; this was the root cause of
+    the r4 INVALID_ARGUMENT chain: a cache-read executable was then even
+    re-serialized into the AOT side-cache, spreading the mangle). Pin
+    the memo to False for the duration of the block as well.
+    """
     prev = getattr(jax.config, "jax_enable_compilation_cache", None)
     if prev is None:
         yield
         return
+    try:
+        from jax._src import compilation_cache as _cc
+    except ImportError:
+        _cc = None
     jax.config.update("jax_enable_compilation_cache", False)
+    if _cc is not None:
+        with _cc._cache_initialized_mutex:
+            prev_memo = (_cc._cache_checked, _cc._cache_used)
+            _cc._cache_checked, _cc._cache_used = True, False
     try:
         yield
     finally:
         jax.config.update("jax_enable_compilation_cache", prev)
+        if _cc is not None:
+            with _cc._cache_initialized_mutex:
+                _cc._cache_checked, _cc._cache_used = prev_memo
 
 
 def pinned_jit(fun, force_pin: bool = False):
@@ -248,13 +273,21 @@ def pinned_jit(fun, force_pin: bool = False):
                      + [(tuple(leaf.shape), str(leaf.dtype))
                         for leaf in jax.tree.leaves(out_shape)
                         if leaf.ndim >= 2])
-            total = sum(_nbytes(s) for s in specs)
             prone = sum(_nbytes(s) for s in specs if _flip_prone(s[0]))
-            # pin only when flip-prone tensors dominate the call: at
-            # aligned frame geometries a prone *watermark pad* alone (a
-            # few % of the bytes, ~1% of the step in relayout tax) is not
-            # worth giving up the persistent cache for
-            pin = force_pin or (total > 0 and prone * 2 >= total)
+            # pin whenever ANY flip-prone tensor crosses the boundary.
+            # This used to require prone tensors to *dominate* the call's
+            # bytes (giving up the persistent cache for a ~1% relayout tax
+            # wasn't worth it at aligned geometries) — but the persistent
+            # cache turned out to do worse than tax such programs: a
+            # cache-RELOADED executable's layout binding for the prone arg
+            # reverts to the auto preference while the actual (pinned-
+            # producer) array stays row-major, and the program then dies
+            # with INVALID_ARGUMENT at dispatch (observed: the engines'
+            # batch embed_luma_u8 at 1080p, whose padded-watermark arg is
+            # prone — the r4 disk-soak failure). Pinned programs bypass
+            # the persistent cache entirely and warm-start from the
+            # probe-validated AOT side-cache instead.
+            pin = force_pin or prone > 0
             if not pin:
                 entry = cache[key] = (jax.jit(shim), None)
             else:
@@ -319,7 +352,18 @@ def pinned_jit(fun, force_pin: bool = False):
                         # One probe execution per process is cheap against
                         # the ~2 min compile the cache saves when healthy.
                         try:
-                            probe = jax.block_until_ready(compiled(*flat))
+                            import numpy as _np
+                            probe = compiled(*flat)
+                            # force a REAL device-to-host pull of every
+                            # output: on the tunneled TPU,
+                            # block_until_ready does NOT actually wait, so
+                            # a mangled executable's execution error would
+                            # otherwise surface on the process's NEXT D2H
+                            # (observed: an engine warmup crashing on the
+                            # error a probe had deferred)
+                            for leaf in jax.tree.leaves(probe):
+                                if hasattr(leaf, "ndim"):
+                                    _np.asarray(leaf)
                             ok = _outputs_well_tagged(probe, out_s)
                         except Exception:
                             ok = False
