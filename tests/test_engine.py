@@ -236,7 +236,7 @@ def test_detect_many_matches_looped_detect(small_image, rng, mask, impl, p):
     pallas rows run the fused multi-candidate kernel (one strip pass per
     candidate chunk); me/pallas at p>3 additionally routes its analysis
     through the wide lag-Gram kernel. The p=7/9 rows pin the chunked
-    kernel at the chip-calibrated DETECT_MANY_TOTAL_WIDE budgets that
+    kernel at the chip-calibrated DETECT_MANY_PLANE8 budgets that
     admit the generalized windows (interpreter-mode parity; on-chip
     parity 2e-08, tools/calibrate_detect_many.py --verify-only)."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_many_pipeline,
@@ -255,6 +255,74 @@ def test_detect_many_matches_looped_detect(small_image, rng, mask, impl, p):
         jnp.asarray(stack), jnp.asarray(wms), mask, p=p, impl=impl))
     assert got_b.shape == (2, 4)
     np.testing.assert_allclose(got_b[0], got, atol=1e-5)
+
+
+def test_detect_many_shrunk_nc_matches_xla(rng):
+    """At 4K-class widths the generalized-ME chunk budget cannot hold
+    nc=8 candidate planes, so detect_many_chunk SHRINKS nc until the
+    minimum strip fits (r4: the fused kernel then admits 4K at p=7 via
+    nc=4 instead of falling back to the XLA formulation; p=9 at 4K
+    honestly stays XLA — the nc-independent ring overhead dominates its
+    live set, see fused.DETECT_MANY_OVERHEAD). Pin the shrunk-nc routing
+    and its parity — n=10 with nc=4 also exercises the bank's
+    pad-to-chunk-multiple path (10 -> 12)."""
+    from watermarking_gpu_tpu.ops.pallas.fused import detect_many_chunk
+    from watermarking_gpu_tpu.ops.pipelines import (
+        detect_many_pipeline, fused_detect_many_applies)
+
+    h, w, p = 48, 2560, 9
+    nc, _, _, _ = detect_many_chunk(10, h, w, "me", p)
+    assert nc == 4              # shrunk from 8; geometry chosen for it
+    assert fused_detect_many_applies(10, h, w, "me", p, "pallas")
+    img = rng.normal(120.0, 30.0, size=(h, w)).astype(np.float32)
+    wms = rng.normal(size=(10, h, w)).astype(np.float32)
+    got = np.asarray(detect_many_pipeline(
+        jnp.asarray(img), jnp.asarray(wms), "me", p=p, impl="pallas"))
+    want = np.asarray(detect_many_pipeline(
+        jnp.asarray(img), jnp.asarray(wms), "me", p=p, impl="xla"))
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_detect_many_plane_budget_model_invariants():
+    """Pin the chunk-VMEM plane model (fused.detect_many_plane_budget):
+    the formula PLANE8*(16+C)//(2*nc+C) must (a) reproduce the chip-
+    verified PLANE8 ceilings exactly at nc=8, (b) grow monotonically as
+    nc shrinks (that is the whole point of the shrink), and (c) never
+    imply MORE total live VMEM at a shrunk nc than the verified nc=8
+    configuration — (2*nc+C)*budget(nc) <= (16+C)*PLANE8, so every
+    shrunk tier is covered by the nc=8 compile verification. Also pin
+    the r4 fused-identification frontier the docs claim: 4K p=7 runs
+    fused via nc=4; 4K p=9 honestly falls back to XLA."""
+    from watermarking_gpu_tpu.ops.pallas.fused import (
+        DETECT_MANY_OVERHEAD, DETECT_MANY_PLANE8, _PLANE_BUDGET_OVERRIDE,
+        detect_many_chunk, detect_many_plane_budget, detect_many_supported)
+
+    for mask, p in (("nvf", 3), ("nvf", 9), ("me", 3), ("me", 5),
+                    ("me", 7), ("me", 9)):
+        key = p if mask == "me" and p > 3 else 3
+        c = DETECT_MANY_OVERHEAD[key]
+        assert detect_many_plane_budget(mask, p, 8) == DETECT_MANY_PLANE8[key]
+        budgets = [detect_many_plane_budget(mask, p, nc)
+                   for nc in (8, 4, 2, 1)]
+        assert budgets == sorted(budgets)          # shrink frees planes
+        for nc, b in zip((8, 4, 2, 1), budgets):
+            assert (2 * nc + c) * b <= (16 + c) * DETECT_MANY_PLANE8[key]
+
+    # the r4 frontier: 4K p=7 fused at a shrunk chunk, 4K p=9 XLA
+    assert detect_many_supported(64, 2160, 3840, "me", 7)
+    assert detect_many_chunk(64, 2160, 3840, "me", 7)[0] < 8
+    assert not detect_many_supported(64, 2160, 3840, "me", 9)
+    # 1080p stays fused at nc=8 for every generalized window
+    for p in (5, 7, 9):
+        assert detect_many_supported(64, 1080, 1920, "me", p)
+        assert detect_many_chunk(64, 1080, 1920, "me", p)[0] == 8
+
+    # the calibration override hook is consulted before the model
+    _PLANE_BUDGET_OVERRIDE[(7, 4)] = 12345
+    try:
+        assert detect_many_plane_budget("me", 7, 4) == 12345
+    finally:
+        del _PLANE_BUDGET_OVERRIDE[(7, 4)]
 
 
 def test_detect_many_identifies_the_embedded_watermark(small_image, rng):
@@ -294,28 +362,30 @@ def test_detect_many_chunks_candidate_axis(small_image, rng, monkeypatch):
 
 
 def test_detect_many_wide_me_downgrades_instead_of_raising(rng):
-    """ME p=9 at 4K-class widths: the chunked kernel's VMEM gate fails
-    AND the strip predict kernel cannot fit the width, so the non-fused
-    branch must downgrade to the XLA formulation instead of letting
-    prediction_error_pallas raise (r3 advisor high finding). Trace-only
-    at the true 4K geometry; numeric parity at a short-row variant.
+    """ME p=9 at 8K-class widths: the chunked kernel's VMEM gate fails
+    (even at the shrunk nc=1 chunk) AND the strip predict kernel cannot
+    fit the width, so the non-fused branch must downgrade to the XLA
+    formulation instead of letting prediction_error_pallas raise (r3
+    advisor high finding). Trace-only at the true 8K geometry; numeric
+    parity at a short-row variant.
 
-    (The r4 chip calibration raised the chunked budgets so 1080p p=9 now
-    runs FUSED — the unsupported frontier moved out to 4K widths.)"""
+    (The r4 chip calibration + adaptive-nc shrink moved the fused
+    frontier out to ~7.5k-pixel widths at p=7 and ~4.5k at p=9 — 8K is
+    beyond both.)"""
     from watermarking_gpu_tpu.ops.pallas.fused import detect_many_supported
     from watermarking_gpu_tpu.ops.pallas.predict_kernel import \
         predict_supported
     from watermarking_gpu_tpu.ops.pipelines import detect_many_pipeline
 
-    assert not detect_many_supported(4, 2160, 3840, "me", 9)
-    assert not predict_supported(3840, 9)
+    assert not detect_many_supported(4, 4320, 7680, "me", 9)
+    assert not predict_supported(7680, 9)
     out = jax.eval_shape(
         partial(detect_many_pipeline, mask_type="me", p=9, impl="pallas"),
-        jax.ShapeDtypeStruct((2160, 3840), jnp.float32),
-        jax.ShapeDtypeStruct((4, 2160, 3840), jnp.float32))
+        jax.ShapeDtypeStruct((4320, 7680), jnp.float32),
+        jax.ShapeDtypeStruct((4, 4320, 7680), jnp.float32))
     assert out.shape == (4,)
 
-    h, w = 48, 2560            # same routing, cheap enough to execute
+    h, w = 48, 7680            # same routing, cheap enough to execute
     assert not detect_many_supported(8, h, w, "me", 9)
     assert not predict_supported(w, 9)
     img = rng.normal(120.0, 30.0, size=(h, w)).astype(np.float32)
@@ -334,8 +404,8 @@ def test_detect_many_chunk_budget_uses_fallback_estimate(rng, monkeypatch):
     per-candidate estimate (r3 advisor medium finding)."""
     import watermarking_gpu_tpu.models.watermark as wm_mod
 
-    h, w = 64, 2560            # ME p=9: fused unsupported at this width
-                               # (post-r4-calibration frontier; 1536 fits now)
+    h, w = 64, 7680            # ME p=9: fused unsupported at this width
+                               # (post-adaptive-nc p=9 frontier is ~4.5k)
     seen = []
 
     def stub_pipeline(image, watermarks, mask_type, p, impl):

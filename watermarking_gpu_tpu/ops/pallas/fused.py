@@ -432,55 +432,93 @@ def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
 # The reference can only loop N full detections (Watermark.cpp:234-250).
 
 
-# chunked multi-candidate kernel's total VMEM numerator (f32 elements) per
-# generalized-ME window; p=3 (and NVF at every p) uses DETECT_MANY_TOTAL.
-# All three are from the on-chip compile-verification campaign
-# (tools/calibrate_detect_many.py @ 1080p/n=64, ~10% margin under the
-# measured scoped-vmem ceilings 2,368,000 / 2,048,000 / 1,344,000):
-# the fused multi-candidate kernel now admits 1080p at every window
-# (strips 40 / 24 / 8; the r3-era tail_budget-ratio values could not even
-# fit the 8-row minimum strip at p=7/9, so identification fell back to
-# the XLA formulation exactly where it is most expensive).
-DETECT_MANY_TOTAL = 2_600_000
-DETECT_MANY_TOTAL_WIDE = {
-    5: 2_128_000,
-    7: 1_840_000,
-    9: 1_208_000,
+# Chunked multi-candidate kernel VMEM model. Everything the kernel holds
+# is strip-plane sized ((strip+2*pad) x lane_padded(W+2*pad) f32), so the
+# budget is expressed in PLANES: live(nc) = 2*nc (the candidate chunk's
+# double-buffered watermark block) + OVERHEAD (everything nc-independent:
+# raw image block + staging, e_z/mask/u/e_u temporaries, the p-ring, and
+# Mosaic's own copies). The largest plane that fits is therefore
+#
+#     plane_budget(p, nc) = PLANE8 * (16 + C) // (2*nc + C)
+#
+# with PLANE8 the chip-verified nc=8 plane budget and C = OVERHEAD[p].
+# The r4 1080p/n=64 campaign (tools/calibrate_detect_many.py, ceilings
+# 2,368,000/2,048,000/1,344,000 split by the legacy 2*nc+5 divisor, ~10%
+# margin) fixes PLANE8; the nc=1 leg of the same campaign fixes C per
+# window (an early 4K attempt that assumed C=5 overflowed scoped VMEM by
+# 4.5 MB at p=7/nc=4 — the ring does NOT shrink with nc). With the
+# honest C, shrinking nc (8 -> 4 -> 2 -> 1) buys real strip height at
+# 4K-class widths at the cost of n/nc image re-reads, still far cheaper
+# than the XLA formulation's (B*N, H, W) materialization.
+DETECT_MANY_PLANE8 = {
+    3: 2_600_000 // 21,   # p=3 ME and NVF at every p (512^2 campaign)
+    5: 2_128_000 // 21,
+    7: 1_840_000 // 21,
+    9: 1_208_000 // 21,
 }
+# nc-independent live planes; chip-calibrated from nc=1 ceilings (r4).
+# Seeds follow tail_budget's ring model (~10 + (p^2-1)/2 planes, biased
+# high = conservative: overestimating C only shrinks sub-8 nc budgets).
+DETECT_MANY_OVERHEAD = {
+    3: 13,   # measured: ~29 live planes at nc=8 (512^2 campaign)
+    5: 22,
+    7: 34,
+    9: 50,
+}
+# test/calibration hook: {(window_key, nc): plane_elems} consulted first.
+_PLANE_BUDGET_OVERRIDE: dict = {}
 
 
-def detect_many_total(mask_type: str, p: int) -> int:
-    """Total VMEM-element numerator for the chunked multi-candidate
-    kernel's strip budget (split as total // (2*nc + 5))."""
-    if mask_type == "me" and p > 3:
-        return DETECT_MANY_TOTAL_WIDE[p]
-    return DETECT_MANY_TOTAL
+def _window_key(mask_type: str, p: int) -> int:
+    return p if mask_type == "me" and p > 3 else 3
+
+
+def detect_many_plane_budget(mask_type: str, p: int, nc: int) -> int:
+    """Largest halo-extended lane-padded strip plane (f32 elements) the
+    chunked multi-candidate kernel may allocate at chunk size ``nc``."""
+    key = _window_key(mask_type, p)
+    if (key, nc) in _PLANE_BUDGET_OVERRIDE:
+        return _PLANE_BUDGET_OVERRIDE[(key, nc)]
+    c = DETECT_MANY_OVERHEAD[key]
+    return DETECT_MANY_PLANE8[key] * (16 + c) // (2 * nc + c)
 
 
 def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
                       p: int) -> tuple[int, int, int, int]:
     """(nc, pad, strip, rows_padded) for the multi-candidate kernel.
 
-    The candidate chunk's watermark block dominates VMEM (nc double-
-    buffered (strip+2h, W+2h) planes plus u/e_u temporaries), so the strip
-    budget shrinks with nc. nc=8 balances image re-reads (n/nc strip
-    passes) against strip height at 1080p-class widths.
+    The candidate chunk's watermark block is the only nc-proportional
+    VMEM (2*nc double-buffered planes); the ring/temporary overhead is
+    nc-independent (see the DETECT_MANY_PLANE8 model comment). nc=8
+    balances image re-reads (n/nc strip passes) against strip height at
+    1080p-class widths; where the minimum 8-row strip cannot fit at
+    nc=8 (4K widths at generalized-ME windows), nc SHRINKS
+    (8 -> 4 -> 2 -> 1) until it does — each step trades image re-reads
+    for the freed 2*nc planes, still far cheaper than the XLA
+    formulation's (B*N, H, W) materialization. Only when even nc=1
+    cannot fit the minimum strip do callers fall back to XLA
+    (``detect_many_supported``).
 
-    Calibration: the per-plane multiplier is MEASURED, not derived — at
-    512^2/nc=8 the compiler's scoped-vmem accounting came to ~29 strip-
-    plane equivalents (wm double-buffer 16, raw image block + staging 3,
-    e_z/mask/u/e_u temporaries and Mosaic's own copies the rest), where
-    the naive live-set count said 21. The 2.6M-element numerator keeps the
-    worst case ~14.5 MB against the 16 MB scoped limit at p=3; the
-    generalized-ME numerators live in DETECT_MANY_TOTAL_WIDE
-    (tools/calibrate_detect_many.py is the measurement harness).
+    Calibration: the plane budgets are MEASURED, not derived — the naive
+    live-set count undercounts Mosaic's copies by ~8 planes (512^2
+    campaign: 29 observed vs 21 counted at p=3/nc=8), and the first 4K
+    shrink attempt that assumed a 5-plane overhead overflowed scoped
+    VMEM by 4.5 MB at p=7/nc=4. tools/calibrate_detect_many.py is the
+    measurement harness for both leg of the model (nc=8 plane ceilings
+    and the nc=1 overhead solve).
     """
-    from .common import budget_rows, pick_strip, raw_mode_ok
+    from .common import budget_rows, lane_padded, pick_strip, raw_mode_ok
 
     pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
+    min_strip = (8 + 2 * pad) * lane_padded(cols + 2 * pad)
     nc = min(8, n)
-    total = detect_many_total(mask_type, p)
-    budget = total // (2 * nc + 5)
+    for cand in (min(8, n), 4, 2, 1):
+        if cand > min(8, n):
+            continue
+        if min_strip <= detect_many_plane_budget(mask_type, p, cand):
+            nc = cand
+            break
+    budget = detect_many_plane_budget(mask_type, p, nc)
     strip, rows_padded = pick_strip_for_width(rows, cols, budget, pad)
     if not raw_mode_ok(rows, strip, rows_padded):
         capped = max(8, rows // 2 // 8 * 8)
@@ -494,14 +532,15 @@ def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
 def detect_many_supported(n: int, rows: int, cols: int, mask_type: str,
                           p: int) -> bool:
     """Can the chunked multi-candidate kernel run at this geometry? The
-    minimum 8-row strip (plus halos) must fit the chunk VMEM budget;
-    callers fall back to the shared-analysis XLA formulation otherwise
+    minimum 8-row strip (plus halos) must fit the chunk VMEM budget at
+    the smallest chunk size (nc shrinks before giving up); callers fall
+    back to the shared-analysis XLA formulation otherwise
     (``pipelines.detect_many_pipeline``)."""
     from .common import lane_padded
 
     nc, pad, _, _ = detect_many_chunk(n, rows, cols, mask_type, p)
-    total = detect_many_total(mask_type, p)
-    return (8 + 2 * pad) * lane_padded(cols + 2 * pad) <= total // (2 * nc + 5)
+    return ((8 + 2 * pad) * lane_padded(cols + 2 * pad)
+            <= detect_many_plane_budget(mask_type, p, nc))
 
 
 def _detect_many_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
