@@ -125,8 +125,9 @@ def detect_many_benchmark(rows=512, cols=512, n=64, iters=(4, 16), reps=6,
     """Watermark identification: one image against 64 candidates in one
     dispatch (the fused multi-candidate kernel; the reference can only
     loop N full detections, Watermark.cpp:234-250). ``p`` sizes the
-    generalized window — wide rows measure the chunked kernel where
-    DETECT_MANY_TOTAL_WIDE's calibration allows, else the XLA fallback."""
+    generalized window — wide rows measure the chunked kernel where the
+    calibrated plane-budget model admits the geometry (shrinking the
+    candidate chunk nc at 4K-class widths), else the XLA fallback."""
     import jax
     import jax.numpy as jnp
 
@@ -353,7 +354,7 @@ def video_embed_disk_soak(rows=1080, cols=1920, frames=240, batch=8):
             "write_wait_frac": round(stats["write_s"] / wall, 3),
             "device_ms_per_batch": round(1e3 * device_s, 2),
             "device_busy_frac": round(
-                stats["batches"] * device_s / wall, 3),
+                stats["batches"] * device_s / wall, 4),
             "note": "interval=1 embed of a local raw .yuv through the real "
                     "pipeline; wait fracs are the main loop's blocked time "
                     "(read = source pump, device = D2H result pull, write "
@@ -479,6 +480,23 @@ def main():
 
         failed += not _record(report, args.out, "detect_many_1080p_n64_p5",
                               dm_1080p)
+    if not args.quick and wanted("detect_many_4k_n64_p7"):
+        # identification at a 4K geometry only the r4 adaptive-nc shrink
+        # admits fused (nc=4; chip parity 5.6e-09 — the legacy divisor
+        # model could not fit the 8-row minimum strip at any nc here)
+        from watermarking_gpu_tpu.ops.pallas.fused import (
+            detect_many_chunk, detect_many_supported)
+
+        def dm_4k():
+            row = detect_many_benchmark(rows=2160, cols=3840, n=64,
+                                        iters=(2, 6), reps=4, p=7)
+            row["fused"] = bool(detect_many_supported(64, 2160, 3840,
+                                                      "me", 7))
+            row["nc"] = detect_many_chunk(64, 2160, 3840, "me", 7)[0]
+            return row
+
+        failed += not _record(report, args.out, "detect_many_4k_n64_p7",
+                              dm_4k)
     if wanted("video_detect_1080p"):
         failed += not _record(report, args.out, "video_detect_1080p",
                               video_detect_benchmark)

@@ -236,7 +236,7 @@ def test_detect_many_matches_looped_detect(small_image, rng, mask, impl, p):
     pallas rows run the fused multi-candidate kernel (one strip pass per
     candidate chunk); me/pallas at p>3 additionally routes its analysis
     through the wide lag-Gram kernel. The p=7/9 rows pin the chunked
-    kernel at the chip-calibrated DETECT_MANY_PLANE8 budgets that
+    kernel at chip-compiled DETECT_MANY_PROVEN configurations that
     admit the generalized windows (interpreter-mode parity; on-chip
     parity 2e-08, tools/calibrate_detect_many.py --verify-only)."""
     from watermarking_gpu_tpu.ops.pipelines import (detect_many_pipeline,
@@ -261,16 +261,17 @@ def test_detect_many_shrunk_nc_matches_xla(rng):
     """At 4K-class widths the generalized-ME chunk budget cannot hold
     nc=8 candidate planes, so detect_many_chunk SHRINKS nc until the
     minimum strip fits (r4: the fused kernel then admits 4K at p=7 via
-    nc=4 instead of falling back to the XLA formulation; p=9 at 4K
-    honestly stays XLA — the nc-independent ring overhead dominates its
-    live set, see fused.DETECT_MANY_OVERHEAD). Pin the shrunk-nc routing
-    and its parity — n=10 with nc=4 also exercises the bank's
+    nc=4 instead of falling back to the XLA formulation — chip-verified,
+    parity 5.6e-09; p=9 at 4K honestly stays XLA — the nc=1 calibration
+    leg measured its ring overhead dominating the live set almost
+    completely, see fused.DETECT_MANY_PROVEN). Pin the shrunk-nc
+    routing and its parity — n=10 with nc=4 also exercises the bank's
     pad-to-chunk-multiple path (10 -> 12)."""
     from watermarking_gpu_tpu.ops.pallas.fused import detect_many_chunk
     from watermarking_gpu_tpu.ops.pipelines import (
         detect_many_pipeline, fused_detect_many_applies)
 
-    h, w, p = 48, 2560, 9
+    h, w, p = 48, 3840, 7
     nc, _, _, _ = detect_many_chunk(10, h, w, "me", p)
     assert nc == 4              # shrunk from 8; geometry chosen for it
     assert fused_detect_many_applies(10, h, w, "me", p, "pallas")
@@ -284,43 +285,73 @@ def test_detect_many_shrunk_nc_matches_xla(rng):
 
 
 def test_detect_many_plane_budget_model_invariants():
-    """Pin the chunk-VMEM plane model (fused.detect_many_plane_budget):
-    the formula PLANE8*(16+C)//(2*nc+C) must (a) reproduce the chip-
-    verified PLANE8 ceilings exactly at nc=8, (b) grow monotonically as
-    nc shrinks (that is the whole point of the shrink), and (c) never
-    imply MORE total live VMEM at a shrunk nc than the verified nc=8
-    configuration — (2*nc+C)*budget(nc) <= (16+C)*PLANE8, so every
-    shrunk tier is covered by the nc=8 compile verification. Also pin
-    the r4 fused-identification frontier the docs claim: 4K p=7 runs
-    fused via nc=4; 4K p=9 honestly falls back to XLA."""
+    """Pin the chunk-VMEM admission design (fused.DETECT_MANY_PROVEN):
+    a configuration is admitted only when a chip-compiled fact
+    dominates it in all four monotone dimensions (nc, rows, lanes,
+    plane) — r4 measured that no closed-form plane budget is sound
+    (scoped VMEM grows with frame rows past ~1.5k and with cols beyond
+    the plane units at tall heights; a linear nc model over-predicts by
+    4-25%). Pin: (a) admission is monotone in each dimension; (b)
+    in-between chunk sizes round UP to the next fact tier; (c) the r4
+    fused frontier — 8K fused at ME p=3/p=5 (nc=4) and NVF (nc=2:
+    nc=4's plane compiles at 1,440 rows but overflows at 2,160 — the
+    rows trap this design exists to stop), 4K ME p=7 (nc=4), QHD ME
+    p=9 (nc=1), XLA beyond, and NOTHING above 4,320 rows."""
     from watermarking_gpu_tpu.ops.pallas.fused import (
-        DETECT_MANY_OVERHEAD, DETECT_MANY_PLANE8, _PLANE_BUDGET_OVERRIDE,
+        DETECT_MANY_PROVEN, _PLANE_BUDGET_OVERRIDE,
         detect_many_chunk, detect_many_plane_budget, detect_many_supported)
 
-    for mask, p in (("nvf", 3), ("nvf", 9), ("me", 3), ("me", 5),
-                    ("me", 7), ("me", 9)):
-        key = p if mask == "me" and p > 3 else 3
-        c = DETECT_MANY_OVERHEAD[key]
-        assert detect_many_plane_budget(mask, p, 8) == DETECT_MANY_PLANE8[key]
-        budgets = [detect_many_plane_budget(mask, p, nc)
+    # (a) every fact witnesses itself and any dominated configuration
+    for mask, p in (("nvf", 9), ("me", 3), ("me", 5), ("me", 7),
+                    ("me", 9)):
+        key = p if mask == "me" and p > 3 else (3 if mask == "me"
+                                                else "nvf")
+        for f_nc, f_rows, f_lanes, f_plane in DETECT_MANY_PROVEN[key]:
+            assert detect_many_plane_budget(
+                mask, p, f_nc, f_rows, f_lanes) >= f_plane
+            # a taller frame or wider lanes must never admit MORE
+            assert (detect_many_plane_budget(mask, p, f_nc, f_rows + 8,
+                                             f_lanes)
+                    <= detect_many_plane_budget(mask, p, f_nc, f_rows,
+                                                f_lanes))
+            assert (detect_many_plane_budget(mask, p, f_nc, f_rows,
+                                             f_lanes + 128)
+                    <= detect_many_plane_budget(mask, p, f_nc, f_rows,
+                                                f_lanes))
+        budgets = [detect_many_plane_budget(mask, p, nc, 4320, 2048)
                    for nc in (8, 4, 2, 1)]
         assert budgets == sorted(budgets)          # shrink frees planes
-        for nc, b in zip((8, 4, 2, 1), budgets):
-            assert (2 * nc + c) * b <= (16 + c) * DETECT_MANY_PLANE8[key]
+        # (b) tier rounding: nc=3 uses the nc=4 tier, nc=5..7 the nc=8
+        assert (detect_many_plane_budget(mask, p, 3, 1080, 2048)
+                == detect_many_plane_budget(mask, p, 4, 1080, 2048))
+        assert (detect_many_plane_budget(mask, p, 6, 1080, 2048)
+                == detect_many_plane_budget(mask, p, 8, 1080, 2048))
 
-    # the r4 frontier: 4K p=7 fused at a shrunk chunk, 4K p=9 XLA
+    # (c) the r4 frontier (every geometry's strip plane is chip-compiled)
+    assert detect_many_chunk(64, 4320, 7680, "me", 3)[0] == 4
+    assert detect_many_chunk(64, 4320, 7680, "me", 5)[0] == 4
+    assert detect_many_chunk(64, 4320, 7680, "nvf", 9)[0] == 2
+    for mask, p in (("me", 3), ("nvf", 9), ("me", 5)):
+        assert detect_many_supported(64, 4320, 7680, mask, p)
     assert detect_many_supported(64, 2160, 3840, "me", 7)
-    assert detect_many_chunk(64, 2160, 3840, "me", 7)[0] < 8
+    assert detect_many_chunk(64, 2160, 3840, "me", 7)[0] == 4
+    assert detect_many_chunk(64, 2160, 3840, "me", 5)[0] == 4  # nc=8
+    # overflows scoped VMEM at 4K even at 2,160 rows (measured)
     assert not detect_many_supported(64, 2160, 3840, "me", 9)
+    assert detect_many_supported(64, 1440, 2560, "me", 9)      # QHD nc=1
+    assert detect_many_chunk(64, 1440, 2560, "me", 9)[0] == 1
     # 1080p stays fused at nc=8 for every generalized window
     for p in (5, 7, 9):
         assert detect_many_supported(64, 1080, 1920, "me", p)
         assert detect_many_chunk(64, 1080, 1920, "me", p)[0] == 8
+    # nothing is admitted above the tallest witnessed frame
+    assert not detect_many_supported(64, 4328, 1920, "me", 3)
+    assert detect_many_supported(64, 4320, 1920, "me", 3)
 
-    # the calibration override hook is consulted before the model
+    # the calibration override hook is consulted before the facts
     _PLANE_BUDGET_OVERRIDE[(7, 4)] = 12345
     try:
-        assert detect_many_plane_budget("me", 7, 4) == 12345
+        assert detect_many_plane_budget("me", 7, 4, 4320, 7808) == 12345
     finally:
         del _PLANE_BUDGET_OVERRIDE[(7, 4)]
 
@@ -370,8 +401,8 @@ def test_detect_many_wide_me_downgrades_instead_of_raising(rng):
     parity at a short-row variant.
 
     (The r4 chip calibration + adaptive-nc shrink moved the fused
-    frontier out to ~7.5k-pixel widths at p=7 and ~4.5k at p=9 — 8K is
-    beyond both.)"""
+    frontier out to ~4.1k-pixel widths at p=7 (4K chip-verified) and
+    ~2.3k at p=9 — 8K is far beyond both.)"""
     from watermarking_gpu_tpu.ops.pallas.fused import detect_many_supported
     from watermarking_gpu_tpu.ops.pallas.predict_kernel import \
         predict_supported
@@ -405,7 +436,7 @@ def test_detect_many_chunk_budget_uses_fallback_estimate(rng, monkeypatch):
     import watermarking_gpu_tpu.models.watermark as wm_mod
 
     h, w = 64, 7680            # ME p=9: fused unsupported at this width
-                               # (post-adaptive-nc p=9 frontier is ~4.5k)
+                               # (post-adaptive-nc p=9 frontier is ~2.3k)
     seen = []
 
     def stub_pipeline(image, watermarks, mask_type, p, impl):

@@ -1,32 +1,39 @@
 #!/usr/bin/env python3
-"""On-chip compile-verification campaign for the chunked multi-candidate
-kernel's VMEM model (``fused.DETECT_MANY_PLANE8`` / ``DETECT_MANY_OVERHEAD``).
+"""On-chip compile-verification harness for the chunked multi-candidate
+kernel's VMEM admission facts (``fused.DETECT_MANY_PROVEN``).
 
-The kernel's live set is ``2*nc + C`` strip planes (candidate-chunk
-double buffer + nc-independent overhead); the model needs two measured
-legs per window:
+``--probe NC,STRIP`` compiles ONE forced configuration at exactly
+--rows/--cols by planting its plane size in
+``fused._PLANE_BUDGET_OVERRIDE``; an ``ok`` result is a fact —
+``(nc, rows, lane_padded(cols+2*pad), plane)`` — to append to
+``DETECT_MANY_PROVEN`` verbatim (a configuration dominated by a
+compiled fact in all four monotone dimensions allocates no more scoped
+VMEM than its witness, so no margin is needed). ``--leg nc{8,4,2,1}``
+bisects the largest strip that compiles at one tier (short-probe mode,
+rows = 3*strip — see the try_compile caveat).
 
-  * the nc=8 plane ceiling (fixes PLANE8, the production budget after
-    ~10% margin) — the original r4 campaign, ``--leg nc8``;
-  * the nc=1 plane ceiling at the SAME geometry (``--leg nc1``), from
-    which the overhead solves as  C = (16 - 2r) / (r - 1)  with
-    r = ceil_nc1 / ceil_nc8  — this is what makes the nc-shrink at
-    4K-class widths honest (the legacy ``total // (2*nc + 5)`` divisor
-    assumed C=5 and overflowed scoped VMEM by 4.5 MB at 4K p=7/nc=4).
+r4 campaign lessons baked into this tool and the facts design:
+  * a linear ``live(nc) = 2*nc + C`` model over-predicts intermediate
+    tiers by 4-25% (p=7 halving nc 8->4 bought ~1% of plane);
+  * scoped VMEM GROWS with total frame rows (nvf p=9 nc=4 plane
+    187,392: ok at 1,440 rows, overflow at 2,160) and, at tall
+    heights, with cols beyond the plane units (me p=3 nc=4 at 4,320
+    rows: plane 212,992 ok at 1,920 cols, plane 187,392 overflows at
+    7,680) — so short-probe bisections only bound SHORT frames, and
+    every production-geometry class needs its own --probe fact;
+  * the waste-minimizing strip picker silently substitutes divisor
+    strips at fixed campaign heights — probe strips must divide the
+    probe height.
 
-Each leg bisects the largest strip whose kernel still compiles inside
-the 16 MB scoped-vmem limit, by planting the exact plane size in
-``fused._PLANE_BUDGET_OVERRIDE`` and compiling the real kernel.
+Run ON THE REAL CHIP, sequentially (compiles go through the shared
+remote compile helper; parallel/abandoned jobs wedge it for everyone):
 
-Run ON THE REAL CHIP, sequentially (each compile takes ~1-2 min through
-the remote compile helper; parallel/abandoned jobs wedge it for everyone):
+    python tools/calibrate_detect_many.py --probe 4,8 --mask me --p 7 \
+        --rows 4320 --cols 3840
 
-    timeout 5400 python tools/calibrate_detect_many.py --leg nc1 \
-        --p 5 7 9 --rows 1080 --cols 1920
-
-Then set ``DETECT_MANY_OVERHEAD`` in ops/pallas/fused.py from the printed
-solve and re-run with --verify-only at the target (e.g. 4K) geometry to
-confirm the shrunk-nc kernels compile and match the XLA formulation.
+Then append the fact to ``fused.DETECT_MANY_PROVEN`` and re-run with
+--verify-only at the target geometry to confirm the routed kernel
+compiles and matches the XLA formulation end to end.
 """
 
 from __future__ import annotations
@@ -48,17 +55,31 @@ from watermarking_gpu_tpu.ops.pallas.common import lane_padded  # noqa: E402
 
 
 def try_compile(strip: int, nc: int, rows: int, cols: int, mask: str,
-                p: int) -> tuple[bool, str]:
+                p: int, probe_rows: int | None = None) -> tuple[bool, str]:
     """Compile the chunked kernel forced to exactly (nc, strip).
+
+    By default the probe runs at ``rows = 3*strip`` regardless of the
+    campaign's nominal rows: the waste-minimizing picker honors any
+    strip that divides the height exactly (at the campaign height it
+    silently substitutes a divisor strip — the first nc=1 leg lost its
+    p=5 probes above 72 rows to exactly that), and a multi-strip grid
+    keeps Mosaic's double-buffering in the live set. CAVEAT (measured
+    r4): scoped VMEM GROWS with total rows (an 8K-tall frame fails
+    planes a 3-strip probe accepts), so short-probe ceilings only hold
+    for frames up to the campaign height — the tall-rows campaign
+    passes ``probe_rows`` (strip must divide it) to compile at the real
+    frame height instead.
 
     Returns (compiled?, detail). A scoped-vmem overflow is reported as a
     clean failure; any other compile error re-raises (that would be a
     bug, not a budget miss).
     """
+    del rows  # probe height is probe_rows or derived from the strip
     key = fused._window_key(mask, p)
     pad = 4 if fused.stencil_reach(mask, p) <= 4 else 8
     plane = (strip + 2 * pad) * lane_padded(cols + 2 * pad)
     n = nc  # n == nc -> one chunk, detect_many_chunk picks nc = min(8, n)
+    rows = probe_rows if probe_rows is not None else 3 * strip
     fused._PLANE_BUDGET_OVERRIDE[(key, nc)] = plane
     try:
         got_nc, got_pad, got_strip, rows_padded = fused.detect_many_chunk(
@@ -153,42 +174,52 @@ def main():
     parser.add_argument("--n", type=int, default=64)
     parser.add_argument("--mask", type=str, default="me")
     parser.add_argument("--p", type=int, nargs="+", default=[5, 7, 9])
-    parser.add_argument("--leg", choices=["nc8", "nc1"], default="nc1",
+    parser.add_argument("--leg", choices=["nc8", "nc4", "nc2", "nc1"],
+                        default="nc1",
                         help="which ceiling to bisect (nc8 fixes PLANE8; "
-                             "nc1 + the nc8 ceiling solve the overhead C)")
+                             "nc1 + the nc8 ceiling solve the overhead C; "
+                             "nc4/nc2 spot-check the linear model between "
+                             "the endpoints)")
     parser.add_argument("--verify-only", action="store_true")
+    parser.add_argument("--probe", type=str, default=None, metavar="NC,STRIP",
+                        help="compile ONE forced (nc, strip) at exactly "
+                             "--rows/--cols (no 3*strip shortcut) and exit; "
+                             "used for the tall-rows campaign, where scoped "
+                             "vmem grows with total rows (threshold between "
+                             "1440 and 2160 rows) and, at tall heights, with "
+                             "cols beyond the plane units")
     args = parser.parse_args()
+
+    if args.probe:
+        nc, strip = (int(x) for x in args.probe.split(","))
+        for p in args.p:
+            ok, detail = try_compile(strip, nc, args.rows, args.cols,
+                                     args.mask, p, probe_rows=args.rows)
+            print(f"{args.mask} p={p} nc={nc} strip={strip} "
+                  f"@{args.rows}x{args.cols}: {'ok' if ok else 'FAIL'} "
+                  f"({detail})", flush=True)
+        return
 
     print(f"backend: {jax.default_backend()} "
           f"({jax.devices()[0].device_kind})", flush=True)
-    nc = 8 if args.leg == "nc8" else 1
+    nc = int(args.leg[2:])
     results = {}
     for p in args.p:
         key = fused._window_key(args.mask, p)
         print(f"p={p} @ {args.rows}x{args.cols} "
-              f"(model: PLANE8={fused.DETECT_MANY_PLANE8[key]} "
-              f"C={fused.DETECT_MANY_OVERHEAD[key]}):", flush=True)
+              f"(facts: {fused.DETECT_MANY_PROVEN[key]}):", flush=True)
         if not args.verify_only:
             best = bisect_strip(nc, args.rows, args.cols, args.mask, p)
             ceil = plane_of(best, args.cols, args.mask, p)
             results[p] = ceil
             print(f"  -> nc={nc} ceiling: strip={best} plane={ceil}",
                   flush=True)
-            if nc == 1:
-                # solve C against the committed nc=8 model ceiling:
-                # PLANE8 carries ~10% margin, so reconstruct the nc=8
-                # ceiling estimate as PLANE8/0.9 (same-campaign values)
-                p8c = fused.DETECT_MANY_PLANE8[key] / 0.9
-                r = ceil / p8c
-                if r > 1.0:
-                    c = (16 - 2 * r) / (r - 1)
-                    print(f"  -> solved overhead C = {c:.1f} "
-                          f"(r = {r:.3f}; committed seed "
-                          f"{fused.DETECT_MANY_OVERHEAD[key]})", flush=True)
-                else:
-                    print("  -> r <= 1: nc=1 ceiling not above the nc=8 "
-                          "ceiling — overhead dominates entirely; keep "
-                          "the conservative seed", flush=True)
+            pad = 4 if fused.stencil_reach(args.mask, p) <= 4 else 8
+            print(f"  -> short-frame fact candidate: ({nc}, <campaign "
+                  f"rows>, {lane_padded(args.cols + 2 * pad)}, {ceil}) "
+                  f"— remember scoped VMEM grows with rows; use --probe "
+                  f"at the real frame height for DETECT_MANY_PROVEN "
+                  f"entries", flush=True)
         supported = fused.detect_many_supported(args.n, args.rows,
                                                 args.cols, args.mask, p)
         chunk = fused.detect_many_chunk(args.n, args.rows, args.cols,

@@ -432,93 +432,128 @@ def fused_detect_tail(image: jnp.ndarray, watermark: jnp.ndarray,
 # The reference can only loop N full detections (Watermark.cpp:234-250).
 
 
-# Chunked multi-candidate kernel VMEM model. Everything the kernel holds
-# is strip-plane sized ((strip+2*pad) x lane_padded(W+2*pad) f32), so the
-# budget is expressed in PLANES: live(nc) = 2*nc (the candidate chunk's
-# double-buffered watermark block) + OVERHEAD (everything nc-independent:
-# raw image block + staging, e_z/mask/u/e_u temporaries, the p-ring, and
-# Mosaic's own copies). The largest plane that fits is therefore
+# Chunked multi-candidate kernel VMEM admission. Everything the kernel
+# holds is strip-plane sized ((strip+2*pad) x lane_padded(W+2*pad) f32),
+# but the r4 calibration campaigns measured that NO closed-form budget
+# in plane units is sound:
+#   * the naive live-set count undercounts Mosaic's copies by ~8 planes
+#     (512^2 campaign: 29 observed vs 21 counted at p=3/nc=8);
+#   * a linear live(nc) = 2*nc + C model over-predicts intermediate
+#     chunk sizes by 4-25% (p=7 halving nc 8->4 bought only ~1% of
+#     plane; p=9's ring overhead dominates so completely that the
+#     shrink buys <3%);
+#   * scoped VMEM GROWS with total frame rows (nvf p=9 nc=4 at plane
+#     187,392: compiles at 1,440 rows, overflows at 2,160) and, at tall
+#     heights, with cols beyond the plane units (me p=3 nc=4 at 4,320
+#     rows: plane 212,992 compiles at 1,920 cols while plane 187,392
+#     overflows at 7,680 cols).
 #
-#     plane_budget(p, nc) = PLANE8 * (16 + C) // (2*nc + C)
-#
-# with PLANE8 the chip-verified nc=8 plane budget and C = OVERHEAD[p].
-# The r4 1080p/n=64 campaign (tools/calibrate_detect_many.py, ceilings
-# 2,368,000/2,048,000/1,344,000 split by the legacy 2*nc+5 divisor, ~10%
-# margin) fixes PLANE8; the nc=1 leg of the same campaign fixes C per
-# window (an early 4K attempt that assumed C=5 overflowed scoped VMEM by
-# 4.5 MB at p=7/nc=4 — the ring does NOT shrink with nc). With the
-# honest C, shrinking nc (8 -> 4 -> 2 -> 1) buys real strip height at
-# 4K-class widths at the cost of n/nc image re-reads, still far cheaper
-# than the XLA formulation's (B*N, H, W) materialization.
-DETECT_MANY_PLANE8 = {
-    3: 2_600_000 // 21,   # p=3 ME and NVF at every p (512^2 campaign)
-    5: 2_128_000 // 21,
-    7: 1_840_000 // 21,
-    9: 1_208_000 // 21,
+# Admission is therefore by DOMINANCE over chip-compiled facts: each
+# entry below is a configuration the REAL kernel COMPILED on chip
+# (tools/calibrate_detect_many.py --probe, r4 campaign), recorded as
+# (nc, rows, lanes, plane) with lanes = lane_padded(cols + 2*pad). A
+# candidate configuration is admitted iff some fact dominates it in all
+# four monotone dimensions — fewer candidate planes, fewer frame rows,
+# narrower lanes, smaller strip plane each strictly shrink the live
+# set, so a dominated configuration allocates no more scoped VMEM than
+# its witness. Geometries no fact dominates (p=7/9 beyond ~4K/~2.7k
+# widths, anything taller than 4,320 rows) fall back to the XLA
+# formulation (``detect_many_supported``). NVF has its own facts: its
+# kernel differs from ME p=3 (they shared a budget before r4) and its
+# worst window (p=9, pad=8) is the binding measurement, dominating the
+# narrower p<9 rings.
+DETECT_MANY_PROVEN = {
+    3: [(8, 4320, 2048, 114_688),    # strip 48 @ 1920 (1080p pick)
+        (8, 4320, 3968, 126_976),    # strip 24 @ 3840 (4K pick)
+        (4, 4320, 7808, 124_928)],   # strip 8 @ 7680 (8K pick)
+    "nvf": [(8, 4320, 2048, 114_688),   # p=9 strip 40 @ 1920
+            (8, 4320, 3968, 95_232),    # p=9 strip 8 @ 3840
+            (2, 4320, 7808, 187_392)],  # p=9 strip 8 @ 7680 (nc=4 FAILS
+                                        # here — nc=2 is the 8K witness)
+    5: [(8, 4320, 2048, 98_304),     # strip 40 @ 1920 (1080p pick)
+        (4, 4320, 3968, 95_232),     # strip 16 @ 3840 (nc=8 FAILS at 4K
+                                     # even at 2,160 rows — nc=4 is the
+                                     # witness; chip parity 3.0e-09 end
+                                     # to end at 8K)
+        (4, 4320, 7808, 124_928)],   # strip 8 @ 7680 (8K pick)
+    7: [(8, 4320, 2048, 81_920),     # strip 24 @ 1920 (1080p pick)
+        (4, 4320, 3968, 95_232)],    # strip 8 @ 3840 (4K pick; chip
+                                     # parity 5.6e-09 end to end)
+    9: [(8, 4320, 2048, 49_152),     # strip 8 @ 1920 (1080p pick)
+        (1, 4320, 2688, 64_512)],    # strip 8 @ 2560 (QHD-class pick)
 }
-# nc-independent live planes; chip-calibrated from nc=1 ceilings (r4).
-# Seeds follow tail_budget's ring model (~10 + (p^2-1)/2 planes, biased
-# high = conservative: overestimating C only shrinks sub-8 nc budgets).
-DETECT_MANY_OVERHEAD = {
-    3: 13,   # measured: ~29 live planes at nc=8 (512^2 campaign)
-    5: 22,
-    7: 34,
-    9: 50,
-}
-# test/calibration hook: {(window_key, nc): plane_elems} consulted first.
+# test/calibration hook: {(window_key, nc): plane_elems} consulted first
+# (unconditionally — the calibration probes use it to force geometries
+# the facts would reject).
 _PLANE_BUDGET_OVERRIDE: dict = {}
 
 
-def _window_key(mask_type: str, p: int) -> int:
-    return p if mask_type == "me" and p > 3 else 3
+def _window_key(mask_type: str, p: int):
+    if mask_type != "me":
+        return "nvf"
+    return p if p > 3 else 3
 
 
-def detect_many_plane_budget(mask_type: str, p: int, nc: int) -> int:
+def detect_many_plane_budget(mask_type: str, p: int, nc: int,
+                             rows: int = 1080, lanes: int = 2048) -> int:
     """Largest halo-extended lane-padded strip plane (f32 elements) the
-    chunked multi-candidate kernel may allocate at chunk size ``nc``."""
+    chunked multi-candidate kernel may allocate at chunk size ``nc``
+    for a ``rows``-tall frame with ``lanes`` lane-padded columns: the
+    largest plane of any chip-compiled fact that dominates the
+    configuration (0 when no fact does — the geometry is inadmissible
+    at this ``nc``). Chunk sizes between the fact tiers round UP (a
+    fact at nc=8 witnesses any nc <= 8 at the same plane)."""
     key = _window_key(mask_type, p)
-    if (key, nc) in _PLANE_BUDGET_OVERRIDE:
-        return _PLANE_BUDGET_OVERRIDE[(key, nc)]
-    c = DETECT_MANY_OVERHEAD[key]
-    return DETECT_MANY_PLANE8[key] * (16 + c) // (2 * nc + c)
+    tier = next(t for t in (1, 2, 4, 8) if t >= nc) if nc < 8 else 8
+    if (key, tier) in _PLANE_BUDGET_OVERRIDE:
+        return _PLANE_BUDGET_OVERRIDE[(key, tier)]
+    return max((f_plane for f_nc, f_rows, f_lanes, f_plane
+                in DETECT_MANY_PROVEN[key]
+                if tier <= f_nc and rows <= f_rows and lanes <= f_lanes),
+               default=0)
 
 
 def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
                       p: int) -> tuple[int, int, int, int]:
     """(nc, pad, strip, rows_padded) for the multi-candidate kernel.
 
-    The candidate chunk's watermark block is the only nc-proportional
-    VMEM (2*nc double-buffered planes); the ring/temporary overhead is
-    nc-independent (see the DETECT_MANY_PLANE8 model comment). nc=8
-    balances image re-reads (n/nc strip passes) against strip height at
-    1080p-class widths; where the minimum 8-row strip cannot fit at
-    nc=8 (4K widths at generalized-ME windows), nc SHRINKS
-    (8 -> 4 -> 2 -> 1) until it does — each step trades image re-reads
-    for the freed 2*nc planes, still far cheaper than the XLA
-    formulation's (B*N, H, W) materialization. Only when even nc=1
-    cannot fit the minimum strip do callers fall back to XLA
-    (``detect_many_supported``).
+    nc=8 balances image re-reads (n/nc strip passes) against strip
+    height at 1080p-class widths; where the minimum 8-row strip cannot
+    fit at nc=8 (4K/8K widths at wide windows), nc SHRINKS
+    (8 -> 4 -> 2 -> 1) until it does — each step frees candidate planes
+    for strip height at the cost of image re-reads, still far cheaper
+    than the XLA formulation's (B*N, H, W) materialization. Only when
+    even nc=1 cannot fit the minimum strip do callers fall back to XLA
+    (``detect_many_supported``). The resulting r4 fused frontier:
+    8K at ME p=3 / p=5 (nc=4) and NVF every p (nc=2), 4K at ME p=7
+    (nc=4, chip parity 5.6e-09), QHD-class (~2.6k) widths at ME p=9
+    (its ring overhead dominates the live set; the shrink buys <3%
+    there), everything capped at 4,320 frame rows (scoped VMEM grows
+    with total rows; no fact witnesses taller frames).
 
-    Calibration: the plane budgets are MEASURED, not derived — the naive
-    live-set count undercounts Mosaic's copies by ~8 planes (512^2
-    campaign: 29 observed vs 21 counted at p=3/nc=8), and the first 4K
-    shrink attempt that assumed a 5-plane overhead overflowed scoped
-    VMEM by 4.5 MB at p=7/nc=4. tools/calibrate_detect_many.py is the
-    measurement harness for both leg of the model (nc=8 plane ceilings
-    and the nc=1 overhead solve).
+    Every admitted configuration is dominated by a chip-compiled fact,
+    NOT a model — see the DETECT_MANY_PROVEN comment for the three
+    measured reasons a closed-form budget fails here.
+    tools/calibrate_detect_many.py is the measurement harness
+    (``--probe`` compiles one forced configuration; the tier bisections
+    and the original nc=8 numerator campaign seeded the facts).
     """
     from .common import budget_rows, lane_padded, pick_strip, raw_mode_ok
 
     pad = 4 if stencil_reach(mask_type, p) <= 4 else 8
-    min_strip = (8 + 2 * pad) * lane_padded(cols + 2 * pad)
+    lanes = lane_padded(cols + 2 * pad)
+    min_strip = (8 + 2 * pad) * lanes
     nc = min(8, n)
     for cand in (min(8, n), 4, 2, 1):
         if cand > min(8, n):
             continue
-        if min_strip <= detect_many_plane_budget(mask_type, p, cand):
+        if min_strip <= detect_many_plane_budget(mask_type, p, cand,
+                                                 rows, lanes):
             nc = cand
             break
-    budget = detect_many_plane_budget(mask_type, p, nc)
+    budget = detect_many_plane_budget(mask_type, p, nc, rows, lanes)
+    budget = max(budget, min_strip)   # inadmissible geometries still get
+    # a well-formed (unsupported) chunk answer for the callers' gate
     strip, rows_padded = pick_strip_for_width(rows, cols, budget, pad)
     if not raw_mode_ok(rows, strip, rows_padded):
         capped = max(8, rows // 2 // 8 * 8)
@@ -532,15 +567,16 @@ def detect_many_chunk(n: int, rows: int, cols: int, mask_type: str,
 def detect_many_supported(n: int, rows: int, cols: int, mask_type: str,
                           p: int) -> bool:
     """Can the chunked multi-candidate kernel run at this geometry? The
-    minimum 8-row strip (plus halos) must fit the chunk VMEM budget at
-    the smallest chunk size (nc shrinks before giving up); callers fall
-    back to the shared-analysis XLA formulation otherwise
+    minimum 8-row strip (plus halos) must be dominated by a chip-
+    compiled fact at some chunk size (nc shrinks before giving up);
+    callers fall back to the shared-analysis XLA formulation otherwise
     (``pipelines.detect_many_pipeline``)."""
     from .common import lane_padded
 
     nc, pad, _, _ = detect_many_chunk(n, rows, cols, mask_type, p)
-    return ((8 + 2 * pad) * lane_padded(cols + 2 * pad)
-            <= detect_many_plane_budget(mask_type, p, nc))
+    lanes = lane_padded(cols + 2 * pad)
+    return ((8 + 2 * pad) * lanes
+            <= detect_many_plane_budget(mask_type, p, nc, rows, lanes))
 
 
 def _detect_many_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
