@@ -152,6 +152,61 @@ def test_pinned_aot_side_cache_quarantines_mangled_reload(rng, tmp_path,
     assert len(list(tmp_path.glob("*.aot"))) == 0   # quarantined: no store
 
 
+def test_pinned_aot_side_cache_transient_probe_error_not_quarantined(
+        rng, tmp_path, monkeypatch):
+    """A TRANSIENT probe failure (tunnel hiccup, RPC reset — anything
+    without the INVALID_ARGUMENT/layout mangle signature) must NOT
+    permanently quarantine the cache key: the process compiles live, the
+    entry survives on disk, and the next process reloads it normally.
+    Only genuine mangle evidence may forfeit the warm start forever."""
+    import watermarking_gpu_tpu.utils.layouts as layouts
+
+    monkeypatch.setenv("WMTPU_PINNED_CACHE", str(tmp_path))
+
+    def f(a):
+        return a + 1.0
+
+    a = jnp.asarray(rng.normal(size=(40, 24)).astype(np.float32))
+    want = np.asarray(jax.jit(f)(a))
+    np.testing.assert_allclose(
+        np.asarray(layouts.pinned_jit(f, force_pin=True)(a)), want,
+        rtol=1e-6)
+    assert len(list(tmp_path.glob("*.aot"))) == 1
+
+    # transient: the probe's tag check dies on a network-class error
+    def boom(result, out_s):
+        raise ConnectionError("tunnel reset by peer")
+    monkeypatch.setattr(layouts, "_outputs_well_tagged", boom)
+    got = layouts.pinned_jit(f, force_pin=True)(a)   # fresh instance
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    assert len(list(tmp_path.glob("*.quarantine"))) == 0
+    assert len(list(tmp_path.glob("*.aot"))) == 1    # entry survives
+
+    # next process (healthy probe): the reload path still works
+    events = []
+    real_load = layouts._aot_load
+    monkeypatch.setattr(layouts, "_aot_load",
+                        lambda *args: events.append("load") or
+                        real_load(*args))
+    monkeypatch.setattr(
+        layouts, "_outputs_well_tagged",
+        lambda result, out_s: True)
+    got2 = layouts.pinned_jit(f, force_pin=True)(a)
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-6)
+    assert events == ["load"]
+
+    # but an exception CARRYING the mangle signature is real evidence:
+    # the reloaded executable's first forced D2H dies INVALID_ARGUMENT
+    def mangle(result, out_s):
+        raise RuntimeError("INVALID_ARGUMENT: layout minor-to-major "
+                           "mismatch on output 0")
+    monkeypatch.setattr(layouts, "_outputs_well_tagged", mangle)
+    got3 = layouts.pinned_jit(f, force_pin=True)(a)
+    np.testing.assert_allclose(np.asarray(got3), want, rtol=1e-6)
+    assert len(list(tmp_path.glob("*.quarantine"))) == 1
+    assert len(list(tmp_path.glob("*.aot"))) == 0
+
+
 def test_engine_pinned_programs_warm_start_from_side_cache(rng, tmp_path,
                                                            monkeypatch):
     """Engine-level integration: a FLIP-PRONE geometry (transposed layout

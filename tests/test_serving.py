@@ -336,6 +336,13 @@ def test_close_completes_with_wedged_device(engine):
         service._collector.join(timeout=90)
         assert not service._dispatcher.is_alive()
         assert not service._collector.is_alive()
+    # the un-wedged device's LATE answers to force-failed futures are
+    # dropped by _finish — and must not be counted either: after a dirty
+    # close the ledger still balances (completed + failed == submitted),
+    # or monitoring reads a >100% failure rate
+    s = service.stats()
+    assert s["completed"] == 0
+    assert s["completed"] + s["failed"] == s["submitted"] == 3
 
 
 def test_spatial_mesh_serving_matches_single(engine, frames):

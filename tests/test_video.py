@@ -438,6 +438,10 @@ def test_translate_encode_options():
     assert codec is None and opts == ""
     codec, opts = _translate_encode_options("-vcodec mpeg4 -q:v 3")
     assert codec == "mpeg4" and opts == "q:v=3"
+    # negative numbers are VALUES, not flags; valueless flags are skipped
+    # (with a printed NOTE), not silently eaten along with their neighbor
+    codec, opts = _translate_encode_options("-c:v mpeg4 -qmin -1 -an -crf 23")
+    assert codec == "mpeg4" and opts == "qmin=-1,crf=23"
 
 
 def test_video_dims_guard_scopes_to_fused_path():

@@ -75,6 +75,12 @@ def try_compile(strip: int, nc: int, rows: int, cols: int, mask: str,
     bug, not a budget miss).
     """
     del rows  # probe height is probe_rows or derived from the strip
+    if nc not in (1, 2, 4, 8):
+        # budgets are keyed by fact TIER (detect_many_plane_budget rounds
+        # nc up to {1,2,4,8}); an off-tier override would be stored under
+        # a key the lookup never consults and the probe would silently
+        # admit against the committed facts instead
+        raise SystemExit(f"--probe nc must be one of 1/2/4/8, got {nc}")
     key = fused._window_key(mask, p)
     pad = 4 if fused.stencil_reach(mask, p) <= 4 else 8
     plane = (strip + 2 * pad) * lane_padded(cols + 2 * pad)

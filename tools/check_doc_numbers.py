@@ -62,6 +62,13 @@ def main() -> int:
                     failures.append(
                         f"{doc}: cites sweep row `{name}` which is NOT in "
                         f"BENCH_SWEEP.json")
+                elif "error" in rows[name]:
+                    # benchmarks.py records failed rows as {"error": ...}
+                    # instead of aborting the sweep; a doc citing one is
+                    # quoting a measurement that never happened
+                    failures.append(
+                        f"{doc}: cites sweep row `{name}` whose committed "
+                        f"measurement FAILED: {rows[name]['error']!r:.100}")
                 else:
                     checked += 1
 

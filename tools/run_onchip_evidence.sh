@@ -15,14 +15,14 @@
 set -o pipefail
 cd "$(dirname "$0")/.."
 
-echo "=== 1/5 goldens (both impls, wide windows) ==="
+echo "=== 1/6 goldens (both impls, wide windows) ==="
 timeout 5400 python tools/check_goldens.py --impl both --wide \
     --out GOLDENS_TPU.json || exit 1
 
-echo "=== 2/5 headline bench ==="
+echo "=== 2/6 headline bench ==="
 timeout 1500 python bench.py | tee /tmp/bench_headline.json || exit 1
 
-echo "=== 3/5 full sweep ==="
+echo "=== 3/6 full sweep ==="
 # exit 2 = some rows recorded {"error": ...} (e.g. a tunnel hiccup);
 # completed rows are flushed incrementally — keep going, re-run the
 # failed rows later with `benchmarks.py --only <row> ...` (merges).
@@ -41,8 +41,10 @@ echo "=== 6/6 doc-number reconciliation ==="
 python tools/check_doc_numbers.py
 
 # Remaining manual steps after this script:
-#  - update DETECT_MANY_TOTAL_WIDE from /tmp/calibrate_dm.log, re-run
-#    tools/calibrate_detect_many.py --verify-only, add parity tests
+#  - append new chip-compiled facts to fused.DETECT_MANY_PROVEN from
+#    /tmp/calibrate_dm.log (tuples (nc, rows, lanes, plane) printed by
+#    `calibrate_detect_many.py --probe NC,STRIP` at the REAL frame
+#    height), then re-run the probe to confirm admission, add parity tests
 #  - reconcile every doc number to the refreshed BENCH_SWEEP.json until
 #    check_doc_numbers exits 0 (one consistent p=5 headline in
 #    README/PARITY/CLAUDE.md)

@@ -114,7 +114,7 @@ class _BatchingService:
     def _run_batch(self, stack: np.ndarray):
         raise NotImplementedError
 
-    def _resolve(self, future: Future, host_results, index: int):
+    def _resolve(self, future: Future, host_results, index: int) -> bool:
         raise NotImplementedError
 
     # -- internals ----------------------------------------------------------
@@ -127,9 +127,12 @@ class _BatchingService:
                 self._queued -= 1
         return item
 
-    def _finish(self, future: Future, value=None, exc=None):
+    def _finish(self, future: Future, value=None, exc=None) -> bool:
         """Resolve a future exactly once (a timed-out close() may have
-        force-failed it already; the late device answer is then dropped)."""
+        force-failed it already; the late device answer is then dropped).
+        Returns whether THIS call resolved it — counter updates must key
+        off that, or a late device answer after a timed-out close() would
+        double-count the frame (completed+failed > submitted)."""
         with self._stats_lock:
             self._pending.discard(future)
         try:
@@ -137,8 +140,9 @@ class _BatchingService:
                 future.set_exception(exc)
             else:
                 future.set_result(value)
+            return True
         except InvalidStateError:
-            pass
+            return False
 
     def _dispatch_loop(self):
         while True:
@@ -170,10 +174,10 @@ class _BatchingService:
             stack = pad_to_batch(np.stack(frames), self.batch_size)
             device_result = self._run_batch(stack)   # async dispatch
         except Exception as exc:  # trace/shape errors must not hang callers
-            for future in futures:
-                self._finish(future, exc=exc)
+            failed = sum(self._finish(future, exc=exc)
+                         for future in futures)
             with self._stats_lock:
-                self._failed += real
+                self._failed += failed
             return
         with self._stats_lock:
             self._batches += 1
@@ -192,16 +196,16 @@ class _BatchingService:
                         (device_result if isinstance(device_result, tuple)
                          else (device_result,))]
             except Exception as exc:  # propagate device errors to callers
-                for future in futures:
-                    self._finish(future, exc=exc)
+                failed = sum(self._finish(future, exc=exc)
+                             for future in futures)
                 with self._stats_lock:
-                    self._failed += real
+                    self._failed += failed
                 continue
             latency = time.monotonic() - dispatched_at
-            for index, future in enumerate(futures[:real]):
-                self._resolve(future, host, index)
+            completed = sum(self._resolve(future, host, index)
+                            for index, future in enumerate(futures[:real]))
             with self._stats_lock:
-                self._completed += real
+                self._completed += completed
                 self._latency_sum += latency
                 self._latency_count += 1
                 self._latency_max = max(self._latency_max, latency)
@@ -382,7 +386,7 @@ class DetectorService(_BatchingService):
         return self.engine.detect(stack, self.mask_type)
 
     def _resolve(self, future, host, index):
-        self._finish(future, float(host[0][index]))
+        return self._finish(future, float(host[0][index]))
 
 
 class IdentifierService(_BatchingService):
@@ -445,6 +449,10 @@ class IdentifierService(_BatchingService):
                 batched=True)
             self._bank_dev = jax.device_put(
                 candidates, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+            # mesh mode only ever reads the device-sharded copy; keeping
+            # the host bank alive too would hold ~N*H*W*4 bytes of RAM
+            # (2.1 GB for a 64-candidate 4K bank) for nothing
+            self._bank = None
 
     def _run_batch(self, stack):
         if self._id_mesh is not None:
@@ -452,7 +460,7 @@ class IdentifierService(_BatchingService):
         return self.engine.detect_many(stack, self._bank, self.mask_type)
 
     def _resolve(self, future, host, index):
-        self._finish(future, host[0][index])
+        return self._finish(future, host[0][index])
 
 
 class EmbedderService(_BatchingService):
@@ -492,4 +500,4 @@ class EmbedderService(_BatchingService):
         return self.engine.embed(stack, mask_type=self.mask_type)
 
     def _resolve(self, future, host, index):
-        self._finish(future, (host[0][index], float(host[1][index])))
+        return self._finish(future, (host[0][index], float(host[1][index])))

@@ -365,9 +365,25 @@ def pinned_jit(fun, force_pin: bool = False):
                                 if hasattr(leaf, "ndim"):
                                     _np.asarray(leaf)
                             ok = _outputs_well_tagged(probe, out_s)
-                        except Exception:
+                            mangled = not ok
+                        except Exception as e:
+                            # Only the mangle SIGNATURE condemns the entry:
+                            # a poisoned reload dies on its first real D2H
+                            # with INVALID_ARGUMENT / a layout complaint
+                            # (module doc). Any other exception (tunnel
+                            # hiccup, transient RPC error) means the probe
+                            # could not JUDGE the entry — compile live this
+                            # process but leave the cache entry and write
+                            # no quarantine marker, or a one-off network
+                            # blip would permanently forfeit the warm
+                            # start for this program.
                             ok = False
-                        if not ok:
+                            msg = str(e)
+                            mangled = ("INVALID_ARGUMENT" in msg
+                                       or "layout" in msg.lower())
+                        if not ok and not mangled:
+                            compiled = None
+                        elif not ok:
                             # this stack cannot round-trip this executable:
                             # quarantine the key so later processes skip
                             # straight to the live compile (no wasted

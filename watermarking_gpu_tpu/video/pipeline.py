@@ -129,9 +129,21 @@ def _translate_encode_options(encode_options: str
     """
     import shlex
 
+    def is_value(tok: str | None) -> bool:
+        if tok is None:
+            return False
+        if not tok.startswith("-"):
+            return True
+        try:               # negative numbers are values ("-qmin -1"),
+            float(tok)     # not flags
+            return True
+        except ValueError:
+            return False
+
     tokens = shlex.split(encode_options or "")
     codec = None
     pairs = []
+    skipped = []
     i = 0
     while i < len(tokens):
         tok = tokens[i]
@@ -139,12 +151,17 @@ def _translate_encode_options(encode_options: str
         if tok in ("-c:v", "-codec:v", "-vcodec") and value:
             codec = value
             i += 2
-        elif tok.startswith("-") and value is not None \
-                and not value.startswith("-"):
+        elif tok.startswith("-") and is_value(value):
             pairs.append(f"{tok[1:]}={value}")
             i += 2
         else:
+            skipped.append(tok)
             i += 1
+    if skipped:
+        # valueless flags have no AVOption k=v form; say so rather than
+        # silently encoding with different parameters than the ini asked
+        print(f"NOTE: encode_options tokens not translatable to AVOptions, "
+              f"ignored by the in-process encoder: {' '.join(skipped)}")
     return codec, ",".join(pairs)
 
 
