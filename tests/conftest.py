@@ -25,6 +25,18 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Build the native frame pump when a compiler exists so the C++ ring is
+# CI-exercised (the suite otherwise silently skips to the Python pump).
+import shutil  # noqa: E402
+import subprocess  # noqa: E402
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+if (not os.path.exists(os.path.join(_NATIVE_DIR, "libwmpump.so"))
+        and shutil.which("make") and shutil.which("g++")):
+    subprocess.run(["make", "-C", _NATIVE_DIR, "libwmpump.so"],
+                   check=False, capture_output=True, timeout=180)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -195,6 +195,18 @@ def test_pinned_aot_side_cache_transient_probe_error_not_quarantined(
     np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-6)
     assert events == ["load"]
 
+    # a transient error that merely MENTIONS "layout" (no INVALID_ARGUMENT
+    # status) must not quarantine either — the signature requires BOTH
+    # (ADVICE r4: a bare substring match forfeited warm starts on RPC
+    # errors that happened to contain the word)
+    def layout_blip(result, out_s):
+        raise ConnectionError("RPC channel to layout service reset by peer")
+    monkeypatch.setattr(layouts, "_outputs_well_tagged", layout_blip)
+    got2b = layouts.pinned_jit(f, force_pin=True)(a)
+    np.testing.assert_allclose(np.asarray(got2b), want, rtol=1e-6)
+    assert len(list(tmp_path.glob("*.quarantine"))) == 0
+    assert len(list(tmp_path.glob("*.aot"))) == 1    # entry survives
+
     # but an exception CARRYING the mangle signature is real evidence:
     # the reloaded executable's first forced D2H dies INVALID_ARGUMENT
     def mangle(result, out_s):

@@ -2,6 +2,7 @@
 
 import io
 import os
+import threading
 
 import numpy as np
 import pytest
@@ -57,6 +58,78 @@ def test_frame_pump_roundtrip(tmp_path, force_python, rng):
             np.testing.assert_array_equal(got, fr)
         assert reader.next() is None
         reader.close()
+
+
+@pytest.mark.parametrize("force_python", [True, False])
+def test_frame_reader_bad_fd_fails_promptly(tmp_path, force_python):
+    """A source fd whose read fails mid-stream must surface an error from
+    next(), never hang. Regression (r4 VERDICT #1): the Python pump thread
+    died on OSError WITHOUT enqueuing the EOF sentinel, so a consumer
+    blocked in next()'s queue.get() waited forever. A directory fd makes
+    os.read raise deterministically (EISDIR) without fd-reuse races."""
+    if not force_python and not native_available():
+        pytest.skip("native pump not built")
+    fd = os.open(tmp_path, os.O_RDONLY)
+    try:
+        reader = FrameReader(fd, frame_bytes(32, 16),
+                             force_python=force_python)
+        result = []
+
+        def consume():
+            try:
+                result.append(("ok", reader.next()))
+            except IOError as exc:
+                result.append(("err", exc))
+
+        t = threading.Thread(target=consume, daemon=True)
+        t.start()
+        t.join(timeout=10)
+        assert not t.is_alive(), "consumer hung in next() after read error"
+        assert result[0][0] == "err"
+        if force_python:
+            with pytest.raises(IOError):   # terminal: every later call too
+                reader.next()
+        reader.close()
+    finally:
+        os.close(fd)
+
+
+def test_frame_reader_source_closed_while_blocked():
+    """Closing the write end while a consumer blocks in next() (pump blocked
+    in os.read on an open pipe) must deliver EOF promptly."""
+    r, w = os.pipe()
+    reader = FrameReader(r, frame_bytes(32, 16), force_python=True)
+    result = []
+
+    def consume():
+        result.append(reader.next())
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    os.write(w, b"x" * 100)        # partial frame, then the source dies
+    os.close(w)
+    t.join(timeout=10)
+    assert not t.is_alive(), "consumer hung in next() after source close"
+    assert result == [None]
+    assert reader.next() is None   # EOF is sticky, never blocks again
+    reader.close()
+    os.close(r)
+
+
+def test_frame_writer_sink_death_never_blocks_put():
+    """After the sink fd dies, put() must raise rather than block forever on
+    a full queue (the dead pump thread can no longer drain it)."""
+    r, w = os.pipe()
+    fb = frame_bytes(32, 16)
+    writer = FrameWriter(w, fb, depth=2, force_python=True)
+    os.close(r)                    # writes now raise EPIPE in the pump
+    frame = np.zeros(fb, dtype=np.uint8)
+    with pytest.raises(IOError):
+        for _ in range(64):        # must trip _error, not deadlock
+            writer.put(frame)
+    with pytest.raises(IOError):
+        writer.close()
+    os.close(w)
 
 
 def test_embed_then_detect_video(clip):
@@ -442,6 +515,10 @@ def test_translate_encode_options():
     # (with a printed NOTE), not silently eaten along with their neighbor
     codec, opts = _translate_encode_options("-c:v mpeg4 -qmin -1 -an -crf 23")
     assert codec == "mpeg4" and opts == "qmin=-1,crf=23"
+    # a flag-shaped token after -vcodec is NOT a codec name ("-an" would
+    # request a nonsense encoder); both fall to the skipped/NOTE path
+    codec, opts = _translate_encode_options("-vcodec -an -crf 23")
+    assert codec is None and opts == "crf=23"
 
 
 def test_video_dims_guard_scopes_to_fused_path():

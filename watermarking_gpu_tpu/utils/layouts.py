@@ -379,8 +379,17 @@ def pinned_jit(fun, force_pin: bool = False):
                             # start for this program.
                             ok = False
                             msg = str(e)
+                            low = msg.lower()
+                            # Require BOTH the status code and a layout
+                            # complaint: a transient tunnel/RPC error whose
+                            # message merely mentions "layout" (or wraps an
+                            # unrelated INVALID_ARGUMENT) must not
+                            # permanently forfeit the warm start. A miss
+                            # here only costs re-probing next process, never
+                            # correctness (fallback is a live compile).
                             mangled = ("INVALID_ARGUMENT" in msg
-                                       or "layout" in msg.lower())
+                                       and ("layout" in low
+                                            or "minor_to_major" in low))
                         if not ok and not mangled:
                             compiled = None
                         elif not ok:

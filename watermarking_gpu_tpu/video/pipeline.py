@@ -148,7 +148,11 @@ def _translate_encode_options(encode_options: str
     while i < len(tokens):
         tok = tokens[i]
         value = tokens[i + 1] if i + 1 < len(tokens) else None
-        if tok in ("-c:v", "-codec:v", "-vcodec") and value:
+        if (tok in ("-c:v", "-codec:v", "-vcodec")
+                and value is not None and not value.startswith("-")):
+            # codec names are never numeric/flag-shaped; "-vcodec -an"
+            # must fall through to the skipped/NOTE path, not request a
+            # nonsense "-an" encoder
             codec = value
             i += 2
         elif tok.startswith("-") and is_value(value):

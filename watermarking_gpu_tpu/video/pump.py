@@ -72,26 +72,41 @@ class FrameReader:
         else:
             self._queue: queue.Queue = queue.Queue(maxsize=depth)
             self._fd = fd
+            self._exc: OSError | None = None
+            self._done = False
             self._thread = threading.Thread(target=self._pump, daemon=True)
             self._thread.start()
 
     def _pump(self):
-        while True:
-            chunks = []
-            remaining = self.frame_bytes
-            while remaining:
-                chunk = os.read(self._fd, remaining)
-                if not chunk:
+        # Whatever happens — clean EOF, short trailing frame, or the fd
+        # being closed/going bad mid-stream — this thread MUST enqueue the
+        # terminal None sentinel before exiting, or a consumer blocked in
+        # next()'s queue.get() waits forever (the native reader handles the
+        # same event via its rc<0 path, native/wmpump.cpp read_full<0).
+        try:
+            while True:
+                chunks = []
+                remaining = self.frame_bytes
+                while remaining:
+                    chunk = os.read(self._fd, remaining)
+                    if not chunk:
+                        break
+                    chunks.append(chunk)
+                    remaining -= len(chunk)
+                if remaining:      # EOF (partial trailing frame dropped)
                     break
-                chunks.append(chunk)
-                remaining -= len(chunk)
-            if remaining:          # EOF (partial trailing frame dropped)
-                self._queue.put(None)
-                return
-            self._queue.put(b"".join(chunks))
+                self._queue.put(b"".join(chunks))
+        except OSError as exc:     # fd closed / EBADF / EIO mid-stream
+            self._exc = exc
+        finally:
+            self._queue.put(None)
 
     def next(self) -> np.ndarray | None:
-        """Next frame as a uint8 array, or None at EOF."""
+        """Next frame as a uint8 array, or None at EOF.
+
+        Raises IOError if the underlying read failed (e.g. the source fd
+        was closed mid-stream) — mirroring the native reader's rc<0 path.
+        """
         if self._native:
             rc = self._lib.wmp_reader_next(self._handle, self._buf)
             if rc <= 0:
@@ -99,10 +114,14 @@ class FrameReader:
                     raise IOError("native frame reader failed")
                 return None
             return np.frombuffer(self._buf.raw, dtype=np.uint8).copy()
-        data = self._queue.get()
-        if data is None:
-            return None
-        return np.frombuffer(data, dtype=np.uint8)
+        if not self._done:
+            data = self._queue.get()
+            if data is not None:
+                return np.frombuffer(data, dtype=np.uint8)
+            self._done = True      # terminal: every later call short-circuits
+        if self._exc is not None:
+            raise IOError("frame reader failed") from self._exc
+        return None
 
     def close(self):
         if self._native and self._handle:
@@ -133,6 +152,8 @@ class FrameWriter:
             data = self._queue.get()
             if data is None:
                 return
+            if self._error:
+                continue           # drain mode: keep put() from blocking
             try:
                 # loop on short writes (signal interruption mid-frame would
                 # silently desynchronize the yuv420p stream otherwise;
@@ -142,8 +163,11 @@ class FrameWriter:
                     written = os.write(self._fd, view)
                     view = view[written:]
             except OSError:
+                # Do NOT exit: a producer blocked in put() on a full queue
+                # would never unblock. Stay alive discarding frames until
+                # close() sends the None sentinel; put() raises on the next
+                # call once it observes _error.
                 self._error = True
-                return
 
     def put(self, frame: np.ndarray | bytes):
         data = frame.tobytes() if isinstance(frame, np.ndarray) else frame
