@@ -284,7 +284,7 @@ def test_detect_many_shrunk_nc_matches_xla(rng):
     np.testing.assert_allclose(got, want, atol=3e-4)
 
 
-def test_detect_many_plane_budget_model_invariants():
+def test_detect_many_plane_budget_model_invariants(monkeypatch):
     """Pin the chunk-VMEM admission design (fused.DETECT_MANY_PROVEN):
     a configuration is admitted only when a chip-compiled fact
     dominates it in all four monotone dimensions (nc, rows, lanes,
@@ -292,11 +292,16 @@ def test_detect_many_plane_budget_model_invariants():
     (scoped VMEM grows with frame rows past ~1.5k and with cols beyond
     the plane units at tall heights; a linear nc model over-predicts by
     4-25%). Pin: (a) admission is monotone in each dimension; (b)
-    in-between chunk sizes round UP to the next fact tier; (c) the r4
-    fused frontier — 8K fused at ME p=3/p=5 (nc=4) and NVF (nc=2:
-    nc=4's plane compiles at 1,440 rows but overflows at 2,160 — the
-    rows trap this design exists to stop), 4K ME p=7 (nc=4), QHD ME
-    p=9 (nc=1), XLA beyond, and NOTHING above 4,320 rows."""
+    in-between chunk sizes round UP to the next fact tier; (c) the
+    fused frontier (r5 campaign) — 8K fused at ME p=3/p=5 (nc=4) and
+    NVF (nc=2: nc=4's plane compiles at 1,440 rows but overflows at
+    2,160 — the rows trap this design exists to stop), 4K ME p=7
+    (nc=4), QHD ME p=9 (nc=1), portrait 8K (7,680 rows) fused at ME
+    p=3/5/7 and NVF, tall-narrow fused at nc=8 for every window, XLA
+    beyond, and NOTHING above 7,680 rows. The open corners are
+    chip-proven VMEM-maximal: ME p=9 @ 4K lanes and ME p=7 @ 8K lanes
+    overflow the 16M scoped limit at the MINIMUM nc=1/strip=8
+    configuration (19.15M / 24.83M measured)."""
     from watermarking_gpu_tpu.ops.pallas.fused import (
         DETECT_MANY_PROVEN, _PLANE_BUDGET_OVERRIDE,
         detect_many_chunk, detect_many_plane_budget, detect_many_supported)
@@ -327,7 +332,7 @@ def test_detect_many_plane_budget_model_invariants():
         assert (detect_many_plane_budget(mask, p, 6, 1080, 2048)
                 == detect_many_plane_budget(mask, p, 8, 1080, 2048))
 
-    # (c) the r4 frontier (every geometry's strip plane is chip-compiled)
+    # (c) the frontier (every geometry's strip plane is chip-compiled)
     assert detect_many_chunk(64, 4320, 7680, "me", 3)[0] == 4
     assert detect_many_chunk(64, 4320, 7680, "me", 5)[0] == 4
     assert detect_many_chunk(64, 4320, 7680, "nvf", 9)[0] == 2
@@ -336,24 +341,93 @@ def test_detect_many_plane_budget_model_invariants():
     assert detect_many_supported(64, 2160, 3840, "me", 7)
     assert detect_many_chunk(64, 2160, 3840, "me", 7)[0] == 4
     assert detect_many_chunk(64, 2160, 3840, "me", 5)[0] == 4  # nc=8
-    # overflows scoped VMEM at 4K even at 2,160 rows (measured)
+    # overflows scoped VMEM at 4K even at 2,160 rows and even at the
+    # minimum nc=1/strip=8 (r5: 19.15M vs the 16M limit)
     assert not detect_many_supported(64, 2160, 3840, "me", 9)
+    # ME p=7 at 8K lanes is likewise VMEM-maximal (r5: 24.83M at nc=1)
+    assert not detect_many_supported(64, 4320, 7680, "me", 7)
     assert detect_many_supported(64, 1440, 2560, "me", 9)      # QHD nc=1
     assert detect_many_chunk(64, 1440, 2560, "me", 9)[0] == 1
     # 1080p stays fused at nc=8 for every generalized window
     for p in (5, 7, 9):
         assert detect_many_supported(64, 1080, 1920, "me", p)
         assert detect_many_chunk(64, 1080, 1920, "me", p)[0] == 8
+    # portrait 8K (r5 tall campaign): fused at ME p=3/5 (nc=8/4),
+    # p=7 (nc=2), NVF (nc=4); p=9 stays XLA (no fact at 4352 lanes)
+    assert detect_many_chunk(64, 7680, 4320, "me", 3)[0] == 8
+    assert detect_many_chunk(64, 7680, 4320, "me", 5)[0] == 4
+    assert detect_many_chunk(64, 7680, 4320, "me", 7)[0] == 2
+    assert detect_many_chunk(64, 7680, 4320, "nvf", 9)[0] == 4
+    for mask, p in (("me", 3), ("me", 5), ("me", 7), ("nvf", 9)):
+        assert detect_many_supported(64, 7680, 4320, mask, p)
+    assert not detect_many_supported(64, 7680, 4320, "me", 9)
+    # tall-narrow keeps nc=8 for every window; p=7 drops to the
+    # strip-16 fact (strip 24 overflows at 7,680 rows — the rows trap)
+    for p in (3, 5, 7, 9):
+        assert detect_many_supported(64, 7680, 1920, "me", p)
+        assert detect_many_chunk(64, 7680, 1920, "me", p)[0] == 8
+    assert detect_many_chunk(64, 4320, 1920, "me", 7)[2] == 24
+    assert detect_many_chunk(64, 7680, 1920, "me", 7)[2] <= 16
     # nothing is admitted above the tallest witnessed frame
-    assert not detect_many_supported(64, 4328, 1920, "me", 3)
-    assert detect_many_supported(64, 4320, 1920, "me", 3)
+    assert not detect_many_supported(64, 7688, 1920, "me", 3)
+    assert detect_many_supported(64, 7680, 1920, "me", 3)
 
-    # the calibration override hook is consulted before the facts
+    # the calibration override hook is consulted before the facts — but
+    # ONLY under WMTPU_CALIBRATION (a stray entry must never replace
+    # chip-proven facts in production admission, r4 VERDICT weak #5)
     _PLANE_BUDGET_OVERRIDE[(7, 4)] = 12345
     try:
+        production = detect_many_plane_budget("me", 7, 4, 4320, 7808)
+        assert production != 12345      # inert without the env flag
+        monkeypatch.setenv("WMTPU_CALIBRATION", "1")
         assert detect_many_plane_budget("me", 7, 4, 4320, 7808) == 12345
     finally:
         del _PLANE_BUDGET_OVERRIDE[(7, 4)]
+
+
+def test_chip_facts_gated_on_stack_version(monkeypatch):
+    """The chip-calibrated fact tables only apply to the (jax, device)
+    stack they were measured on (common.CHIP_FACTS_STACK): on a mismatch
+    every fact-gated envelope must shrink to its XLA fallback instead of
+    admitting a geometry that would fail at compile time (r4 VERDICT
+    weak #4). Off-TPU the facts trivially hold (no scoped-VMEM limit)."""
+    from watermarking_gpu_tpu.ops.pallas import common
+    from watermarking_gpu_tpu.ops.pallas.fused import (
+        detect_many_plane_budget, detect_many_supported)
+    from watermarking_gpu_tpu.ops.pallas.me_gram_wide import (
+        wide_gram_supported)
+    from watermarking_gpu_tpu.ops.pallas.predict_kernel import (
+        predict_supported)
+    from watermarking_gpu_tpu.ops.pipelines import (
+        _wide_me_fallback_geometry)
+    from watermarking_gpu_tpu.parallel.spatial import wide_shard_supported
+
+    # this CPU suite: facts valid (interpreter mode has no VMEM limit)
+    assert common.chip_facts_valid()
+    assert detect_many_supported(64, 1080, 1920, "me", 3)
+    assert wide_gram_supported(1080, 1920, 5)
+
+    # simulate a mismatched stack (a jax upgrade / new TPU generation)
+    monkeypatch.setattr(common, "_STACK_OK", False)
+    assert not common.chip_facts_valid()
+    assert detect_many_plane_budget("me", 3, 8, 1080, 2048) == 0
+    assert not detect_many_supported(64, 1080, 1920, "me", 3)
+    assert not wide_gram_supported(1080, 1920, 5)
+    assert not wide_shard_supported(270, 1080, 1920, 5)
+    assert _wide_me_fallback_geometry(1080, 1920, "me", 5)
+    assert not predict_supported(1920, 5)   # chip-bisected wide budget
+    assert predict_supported(1920, 3)       # p=3 keeps its wide margin
+    # detect_many_chunk still returns a well-formed (unsupported) answer
+    from watermarking_gpu_tpu.ops.pallas.fused import detect_many_chunk
+    nc, pad, strip, rows_padded = detect_many_chunk(64, 1080, 1920,
+                                                    "me", 3)
+    assert strip >= 8 and rows_padded % strip == 0
+
+    # the trust escape hatch re-admits after operator verification
+    monkeypatch.setattr(common, "_STACK_OK", None)
+    monkeypatch.setenv("WMTPU_TRUST_CHIP_FACTS", "1")
+    assert common.chip_facts_valid()
+    monkeypatch.setattr(common, "_STACK_OK", None)   # recompute next use
 
 
 def test_detect_many_identifies_the_embedded_watermark(small_image, rng):

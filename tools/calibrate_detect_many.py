@@ -47,6 +47,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the _PLANE_BUDGET_OVERRIDE hook this tool plants is inert in production
+# admission unless this flag is set (fused._calibration_mode) — only the
+# calibration harness may force geometries the committed facts reject
+os.environ["WMTPU_CALIBRATION"] = "1"
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 

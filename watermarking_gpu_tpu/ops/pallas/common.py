@@ -15,6 +15,8 @@ HBM->VMEM DMA per strip).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -24,6 +26,42 @@ DEFAULT_STRIP = 256
 
 def is_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# (jax version, device kind) the chip-calibrated fact tables and VMEM
+# budgets were measured on: ``fused.DETECT_MANY_PROVEN``, the wide-tail
+# budgets (``fused.TAIL_BUDGET_WIDE``), the wide Gram/predict budgets.
+# Mosaic's scoped-VMEM accounting can shift across jax/compile-helper
+# upgrades and differs across TPU generations, so a stale fact could
+# admit a geometry that fails AT COMPILE TIME in production (raw VMEM
+# error) instead of falling back to the XLA formulation. The AOT
+# side-cache already keys executables this way (utils/layouts.py);
+# the facts key the same (r4 VERDICT weak #4).
+CHIP_FACTS_STACK = ("0.9.0", "TPU v5 lite")
+_STACK_OK: bool | None = None
+
+
+def chip_facts_valid() -> bool:
+    """Do the chip-calibrated VMEM facts apply to the current stack?
+
+    True off-TPU (interpreter mode has no scoped-VMEM limit, and the CPU
+    test suite exercises kernel semantics, not allocation); on TPU, the
+    (jax version, device kind) pair must match ``CHIP_FACTS_STACK``.
+    On mismatch every fact-gated envelope shrinks to its XLA fallback —
+    correct, unaccelerated — until the facts are re-proven
+    (tools/calibrate_detect_many.py / calibrate_wide_tail.py) or the
+    operator opts in with WMTPU_TRUST_CHIP_FACTS=1 after verifying them.
+    """
+    global _STACK_OK
+    if _STACK_OK is None:
+        if os.environ.get("WMTPU_TRUST_CHIP_FACTS"):
+            _STACK_OK = True
+        elif not is_tpu():
+            _STACK_OK = True
+        else:
+            _STACK_OK = ((jax.__version__,
+                          jax.devices()[0].device_kind) == CHIP_FACTS_STACK)
+    return _STACK_OK
 
 
 def interpret_mode() -> bool:

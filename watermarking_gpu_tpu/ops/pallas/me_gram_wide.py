@@ -114,13 +114,17 @@ def _plan(p: int):
 def wide_gram_supported(rows: int, cols: int, p: int) -> bool:
     """Geometry gate: the lag windows and low/high boundary blocks need a
     few halo-widths of real image (same threshold as the XLA lag path,
-    ``ops/me.py::gram_terms_from_padded``), and the minimum 8-row strip
-    must fit the VMEM budget."""
-    from .common import lane_padded
+    ``ops/me.py::gram_terms_from_padded``), the minimum 8-row strip must
+    fit the VMEM budget, and the chip-calibrated budget must apply to the
+    current (jax, device) stack (``common.chip_facts_valid``) — on a
+    stack mismatch the whole wide fused pipeline routes to XLA
+    (``pipelines._wide_me_fallback_geometry``, ``wide_shard_supported``)."""
+    from .common import chip_facts_valid, lane_padded
 
     h, pad = p // 2, wide_pad(p)
     return (p in (5, 7, 9) and rows >= 6 * h and cols >= 6 * h
-            and (8 + 2 * pad) * lane_padded(cols + 2 * pad) <= BUDGET)
+            and (8 + 2 * pad) * lane_padded(cols + 2 * pad) <= BUDGET
+            and chip_facts_valid())
 
 
 def wide_gram_geometry(rows: int, cols: int, p: int) -> tuple[int, int]:

@@ -42,12 +42,15 @@ def predict_supported(cols: int, p: int = 3) -> bool:
     """Can the strip kernel run at this width? The minimum 8-row strip
     (plus halos) must fit the p-scaled VMEM budget; callers outside the
     envelope (``pipelines.detect_many_pipeline``'s non-fused branch) run
-    the XLA formulation instead."""
-    from .common import lane_padded
+    the XLA formulation instead. For the wide windows (p > 3, whose
+    budgets were chip-bisected) the calibration must also apply to the
+    current (jax, device) stack (``common.chip_facts_valid``)."""
+    from .common import chip_facts_valid, lane_padded
 
     return (p // 2 <= PAD
             and (8 + 2 * PAD) * lane_padded(cols + 2 * PAD)
-            <= predict_budget(p))
+            <= predict_budget(p)
+            and (p <= 3 or chip_facts_valid()))
 
 
 def _predict_error_kernel(coeffs_ref, pin, pout, *, pad: int, strip: int,
