@@ -18,9 +18,11 @@
 //
 // Plain C ABI throughout; Python binds with ctypes (video/libav.py).
 
+#include <cmath>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <vector>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -253,6 +255,16 @@ struct WmEncoder {
   int64_t next_pts = 0;
   bool header_written = false;
   std::string last_error;
+  // audio/subtitle stream-copy passthrough (the reference maps them to its
+  // ffmpeg child with `-c:s copy -c:a copy -map`, main.cpp:287-289; the
+  // in-process encoder remuxes them from `copy_from` via libavformat)
+  AVFormatContext *src = nullptr;
+  std::vector<int> copy_map;        // src stream index -> out index (-1 drop)
+  std::vector<int64_t> copy_shift;  // per-stream start shift, src time_base
+  AVPacket *cpkt = nullptr;
+  bool cpkt_pending = false;        // cpkt read but not yet due for muxing
+  bool src_eof = false;
+  std::string notes;                // NOTE lines for dropped/skipped tracks
 };
 
 namespace {
@@ -278,7 +290,9 @@ int drain_packets(WmEncoder *e) {
 void free_encoder(WmEncoder *e) {
   av_frame_free(&e->frame);
   av_packet_free(&e->pkt);
+  av_packet_free(&e->cpkt);
   avcodec_free_context(&e->ctx);
+  if (e->src) avformat_close_input(&e->src);
   if (e->fmt) {
     if (e->fmt->pb) avio_closep(&e->fmt->pb);
     avformat_free_context(e->fmt);
@@ -286,12 +300,113 @@ void free_encoder(WmEncoder *e) {
   delete e;
 }
 
+// interleave mapped copy-source packets (audio/subtitles) due at or before
+// `video_time_sec`; pass INFINITY to drain to EOF (wme_close). Pacing the
+// copies against the video clock keeps av_interleaved_write_frame's buffer
+// small and the output properly interleaved, like the ffmpeg child's muxer.
+int copy_until(WmEncoder *e, double video_time_sec) {
+  if (!e->src) return 0;
+  for (;;) {
+    if (!e->cpkt_pending) {
+      if (e->src_eof) return 0;
+      int rc = av_read_frame(e->src, e->cpkt);
+      if (rc == AVERROR_EOF) {
+        e->src_eof = true;
+        return 0;
+      }
+      if (rc < 0) {
+        e->last_error = "stream-copy read failed: " + av_err_str(rc);
+        return -1;
+      }
+      unsigned idx = static_cast<unsigned>(e->cpkt->stream_index);
+      if (idx >= e->copy_map.size() || e->copy_map[idx] < 0) {
+        av_packet_unref(e->cpkt);
+        continue;
+      }
+      e->cpkt_pending = true;
+    }
+    unsigned idx = static_cast<unsigned>(e->cpkt->stream_index);
+    AVStream *in = e->src->streams[idx];
+    AVStream *out = e->fmt->streams[e->copy_map[idx]];
+    int64_t t = e->cpkt->dts != AV_NOPTS_VALUE ? e->cpkt->dts : e->cpkt->pts;
+    double sec = (t == AV_NOPTS_VALUE)
+                     ? 0.0
+                     : (t - e->copy_shift[idx]) * av_q2d(in->time_base);
+    if (sec > video_time_sec) return 0;  // not due yet; keep pending
+    if (e->cpkt->pts != AV_NOPTS_VALUE) e->cpkt->pts -= e->copy_shift[idx];
+    if (e->cpkt->dts != AV_NOPTS_VALUE) e->cpkt->dts -= e->copy_shift[idx];
+    av_packet_rescale_ts(e->cpkt, in->time_base, out->time_base);
+    e->cpkt->stream_index = out->index;
+    e->cpkt->pos = -1;
+    int rc = av_interleaved_write_frame(e->fmt, e->cpkt);
+    e->cpkt_pending = false;
+    if (rc < 0) {
+      av_packet_unref(e->cpkt);  // consumed only on success
+      e->last_error = "stream-copy mux failed: " + av_err_str(rc);
+      return -1;
+    }
+  }
+}
+
+// map the copy source's audio/subtitle streams onto output streams; MUST
+// run before avformat_write_header (streams are fixed by the header)
+void map_copy_streams(WmEncoder *e, const char *copy_from) {
+  if (!copy_from || !copy_from[0]) return;
+  int rc = avformat_open_input(&e->src, copy_from, nullptr, nullptr);
+  if (rc < 0) {
+    e->notes += "NOTE: stream-copy source unreadable, writing video only (" +
+                av_err_str(rc) + ")\n";
+    e->src = nullptr;
+    return;
+  }
+  if (avformat_find_stream_info(e->src, nullptr) < 0) {
+    e->notes += "NOTE: stream-copy source has no stream info, writing "
+                "video only\n";
+    avformat_close_input(&e->src);
+    return;
+  }
+  e->copy_map.assign(e->src->nb_streams, -1);
+  e->copy_shift.assign(e->src->nb_streams, 0);
+  int mapped = 0;
+  for (unsigned i = 0; i < e->src->nb_streams; ++i) {
+    AVStream *in = e->src->streams[i];
+    auto type = in->codecpar->codec_type;
+    if (type != AVMEDIA_TYPE_AUDIO && type != AVMEDIA_TYPE_SUBTITLE) continue;
+    const char *tname = av_get_media_type_string(type);
+    if (avformat_query_codec(e->fmt->oformat, in->codecpar->codec_id,
+                             FF_COMPLIANCE_NORMAL) != 1) {
+      e->notes += std::string("NOTE: dropping ") + (tname ? tname : "?") +
+                  " stream " + std::to_string(i) +
+                  " (codec not supported by the output container)\n";
+      continue;
+    }
+    AVStream *out = avformat_new_stream(e->fmt, nullptr);
+    if (!out) continue;
+    avcodec_parameters_copy(out->codecpar, in->codecpar);
+    out->codecpar->codec_tag = 0;  // let the muxer pick its own tag
+    out->time_base = in->time_base;
+    e->copy_map[i] = out->index;
+    e->copy_shift[i] =
+        in->start_time != AV_NOPTS_VALUE ? in->start_time : 0;
+    ++mapped;
+  }
+  if (!mapped) {
+    avformat_close_input(&e->src);
+  }
+}
+
 }  // namespace
 
-// options: "key=value,key=value" codec private/generic AVOptions
+// options: "key=value,key=value" codec private/generic AVOptions.
+// copy_from (may be NULL): container whose audio/subtitle streams are
+// remuxed into the output via stream copy — the in-process equivalent of
+// the reference's `-c:s copy -c:a copy -map` ffmpeg child flags
+// (main.cpp:287-289). Unmappable/unreadable tracks are dropped with a
+// NOTE line retrievable via wme_notes().
 extern "C" void *wme_open(const char *path, int width, int height,
                           double fps, const char *codec_name,
-                          const char *options, char *err, int errlen) {
+                          const char *options, const char *copy_from,
+                          char *err, int errlen) {
   auto *e = new WmEncoder();
   e->width = width;
   e->height = height;
@@ -342,6 +457,7 @@ extern "C" void *wme_open(const char *path, int width, int height,
   }
   avcodec_parameters_from_context(e->stream->codecpar, e->ctx);
   e->stream->time_base = e->ctx->time_base;
+  map_copy_streams(e, copy_from);  // before the header fixes the streams
   rc = avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE);
   if (rc < 0) {
     set_err(err, errlen, "Could not open output file: " + av_err_str(rc));
@@ -356,6 +472,7 @@ extern "C" void *wme_open(const char *path, int width, int height,
   }
   e->header_written = true;
   e->pkt = av_packet_alloc();
+  e->cpkt = av_packet_alloc();
   e->frame = av_frame_alloc();
   e->frame->format = AV_PIX_FMT_YUV420P;
   e->frame->width = width;
@@ -388,7 +505,9 @@ extern "C" int wme_write(void *handle, const unsigned char *src) {
     e->last_error = "send frame failed: " + av_err_str(rc);
     return -1;
   }
-  return drain_packets(e);
+  if (drain_packets(e) < 0) return -1;
+  // keep copied audio/subtitle packets flowing alongside the video clock
+  return copy_until(e, e->next_pts * av_q2d(e->ctx->time_base));
 }
 
 extern "C" int wme_close(void *handle) {
@@ -398,6 +517,9 @@ extern "C" int wme_close(void *handle) {
   if (e->ctx && e->header_written) {
     avcodec_send_frame(e->ctx, nullptr);  // flush
     result = drain_packets(e);
+    // drain the remaining copied streams fully (audio commonly outlasts
+    // the last video frame; the ffmpeg child copies it all too)
+    if (copy_until(e, HUGE_VAL) < 0 && result == 0) result = -1;
     int rc = av_write_trailer(e->fmt);
     if (rc < 0 && result == 0) result = -1;
   }
@@ -405,7 +527,26 @@ extern "C" int wme_close(void *handle) {
   return result;
 }
 
+// NOTE lines for tracks the stream-copy passthrough dropped ("" if none)
+extern "C" const char *wme_notes(void *h) {
+  return static_cast<WmEncoder *>(h)->notes.c_str();
+}
+
 // encoder availability probe (Python picks ffv1 -> mpeg4 fallbacks)
 extern "C" int wme_codec_available(const char *name) {
   return avcodec_find_encoder_by_name(name) != nullptr;
+}
+
+// test/tooling probe: number of streams of `media_type` (AVMediaType:
+// 0 video, 1 audio, 3 subtitle) in a container; -1 if unreadable
+extern "C" int wmt_stream_count(const char *path, int media_type) {
+  AVFormatContext *f = nullptr;
+  if (avformat_open_input(&f, path, nullptr, nullptr) < 0) return -1;
+  avformat_find_stream_info(f, nullptr);
+  int n = 0;
+  for (unsigned i = 0; i < f->nb_streams; ++i) {
+    if (f->streams[i]->codecpar->codec_type == media_type) ++n;
+  }
+  avformat_close_input(&f);
+  return n;
 }

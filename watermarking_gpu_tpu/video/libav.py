@@ -70,7 +70,12 @@ def _load_lib():
     lib.wme_open.restype = ctypes.c_void_p
     lib.wme_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                              ctypes.c_double, ctypes.c_char_p,
-                             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+                             ctypes.c_char_p, ctypes.c_char_p,
+                             ctypes.c_char_p, ctypes.c_int]
+    lib.wme_notes.restype = ctypes.c_char_p
+    lib.wme_notes.argtypes = [ctypes.c_void_p]
+    lib.wmt_stream_count.restype = ctypes.c_int
+    lib.wmt_stream_count.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.wme_write.restype = ctypes.c_int
     lib.wme_write.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.wme_error.restype = ctypes.c_char_p
@@ -97,6 +102,16 @@ def available() -> bool:
 def codec_available(name: str) -> bool:
     lib = _load_lib()
     return bool(lib) and bool(lib.wme_codec_available(name.encode()))
+
+
+def stream_count(path: str, kind: str = "audio") -> int:
+    """Streams of ``kind`` ('video'/'audio'/'subtitle') in a container
+    (-1 if unreadable or the library is absent)."""
+    lib = _load_lib()
+    if not lib:
+        return -1
+    media = {"video": 0, "audio": 1, "subtitle": 3}[kind]
+    return int(lib.wmt_stream_count(os.fspath(path).encode(), media))
 
 
 def pick_encoder(preferred: str | None = None) -> str | None:
@@ -194,10 +209,19 @@ class DecoderReader:
 
 class LibavEncoder:
     """Synchronous in-process encoder (packed yuv420p in, encoded file
-    out)."""
+    out).
+
+    ``copy_from`` names a container whose audio/subtitle streams are
+    remuxed into the output via libavformat stream copy, interleaved
+    against the video clock — the in-process equivalent of the
+    reference's ``-c:s copy -c:a copy -map`` ffmpeg-child flags
+    (``/root/reference/Watermark_GPU/main.cpp:287-289``). Tracks the
+    output container cannot carry are dropped with a NOTE line in
+    ``self.notes`` (callers print them)."""
 
     def __init__(self, path: str, width: int, height: int, fps: float,
-                 codec: str, options: str = ""):
+                 codec: str, options: str = "",
+                 copy_from: str | None = None):
         lib = _load_lib()
         if not lib:
             raise RuntimeError("libwmdecode.so not built (make -C native)")
@@ -205,16 +229,28 @@ class LibavEncoder:
         err = ctypes.create_string_buffer(512)
         self._handle = lib.wme_open(os.fspath(path).encode(), width, height,
                                     float(fps), codec.encode(),
-                                    options.encode(), err, len(err))
+                                    options.encode(),
+                                    os.fspath(copy_from).encode()
+                                    if copy_from else None, err, len(err))
         if not self._handle:
             raise RuntimeError(err.value.decode() or "encoder open failed")
+        self.notes = lib.wme_notes(self._handle).decode()
         self.frame_bytes = frame_bytes(width, height)
 
-    def write(self, frame: bytes):
-        if len(frame) != self.frame_bytes:
-            raise ValueError(f"frame is {len(frame)} bytes, expected "
+    def write(self, frame):
+        """Encode one packed yuv420p frame (bytes or uint8 array; arrays
+        pass zero-copy — the C side copies into the AVFrame itself)."""
+        if isinstance(frame, np.ndarray):
+            if frame.dtype != np.uint8 or not frame.flags.c_contiguous:
+                frame = np.ascontiguousarray(frame, dtype=np.uint8)
+            nbytes, src = frame.nbytes, frame.ctypes.data_as(
+                ctypes.c_char_p)
+        else:
+            nbytes, src = len(frame), frame
+        if nbytes != self.frame_bytes:
+            raise ValueError(f"frame is {nbytes} bytes, expected "
                              f"{self.frame_bytes}")
-        if self._lib.wme_write(self._handle, frame) < 0:
+        if self._lib.wme_write(self._handle, src) < 0:
             raise IOError(self._lib.wme_error(self._handle).decode())
 
     def close(self):
@@ -254,10 +290,11 @@ class EncoderWriter:
                 self._error = exc
 
     def put(self, frame):
-        data = frame.tobytes() if isinstance(frame, np.ndarray) else frame
+        # arrays are enqueued by reference (zero-copy; LibavEncoder.write
+        # hands the pointer to C) — callers must not mutate them after
         if self._error is not None:
             raise IOError(f"encoder failed: {self._error}")
-        self._queue.put(data)
+        self._queue.put(frame)
 
     def close(self):
         self._queue.put(None)
