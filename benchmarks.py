@@ -345,21 +345,35 @@ def video_embed_disk_soak(rows=1080, cols=1920, frames=240, batch=8):
 
         device_s = _slope(run_device, iters=(8, 40), reps=6)
         wall = stats["wall_s"]
+        accounted = (stats["read_s"] + stats["collect_s"]
+                     + stats["write_s"] + stats["prep_s"] + stats["emit_s"])
+        fracs = {
+            "read_wait_frac": round(stats["read_s"] / wall, 3),
+            "device_wait_frac": round(stats["collect_s"] / wall, 3),
+            "write_wait_frac": round(stats["write_s"] / wall, 3),
+            "host_prep_frac": round(stats["prep_s"] / wall, 3),
+            "emit_assembly_frac": round(stats["emit_s"] / wall, 3),
+            "other_frac": round((wall - accounted) / wall, 3),
+        }
+        binding = max(fracs, key=fracs.get)
         return {
             "fps_e2e": round(stats["frames"] / wall, 1),
             "frames": stats["frames"],
             "native_pump": native_available(),
-            "read_wait_frac": round(stats["read_s"] / wall, 3),
-            "device_wait_frac": round(stats["collect_s"] / wall, 3),
-            "write_wait_frac": round(stats["write_s"] / wall, 3),
+            **fracs,
             "device_ms_per_batch": round(1e3 * device_s, 2),
             "device_busy_frac": round(
                 stats["batches"] * device_s / wall, 4),
+            "binding_constraint": binding,
             "note": "interval=1 embed of a local raw .yuv through the real "
-                    "pipeline; wait fracs are the main loop's blocked time "
-                    "(read = source pump, device = D2H result pull, write "
-                    "= sink pump). device_busy_frac = batches x resident "
-                    "batch slope / wall — the overlap efficiency.",
+                    "pipeline; fracs are the main loop's wall-time shares "
+                    "and sum to ~1 (read = source pump, device = D2H "
+                    "result pull, write = sink pump, host_prep = batch "
+                    "stack + dispatch, emit_assembly = output-frame "
+                    "assembly, other = loop/sampling overhead). "
+                    "binding_constraint names the largest share. "
+                    "device_busy_frac = batches x resident batch slope / "
+                    "wall — the overlap efficiency.",
         }
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)

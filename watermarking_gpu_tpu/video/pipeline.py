@@ -199,9 +199,17 @@ class FrameSink:
             if codec_pref and codec != codec_pref:
                 print(f"NOTE: encoder '{codec_pref}' unavailable "
                       f"in-process; using '{codec}'")
+            # pass the source container so its audio/subtitle tracks are
+            # stream-copied into the output (the ffmpeg-subprocess path
+            # does this with `-c:s copy -c:a copy -map`, main.cpp:287-289;
+            # raw .yuv inputs have no side tracks to carry)
+            copy_from = (settings.video
+                         if not settings.video.endswith(".yuv") else None)
             encoder = libav.LibavEncoder(out_path, source.width,
                                          source.height, source.fps, codec,
-                                         options)
+                                         options, copy_from=copy_from)
+            for line in encoder.notes.splitlines():
+                print(line)
             self._inproc = encoder
             self.writer = libav.EncoderWriter(encoder)
             return
@@ -270,7 +278,8 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
     an end-to-end run actually spends its time (overlap efficiency).
     """
     out = sys.stdout if out is None else out
-    waits = {"read_s": 0.0, "collect_s": 0.0, "write_s": 0.0, "batches": 0}
+    waits = {"read_s": 0.0, "collect_s": 0.0, "write_s": 0.0,
+             "prep_s": 0.0, "emit_s": 0.0, "batches": 0}
     source = FrameSource(settings)
     try:
         _check_video_dims(source.width, source.height, settings.p)
@@ -293,15 +302,20 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
     pending: list[tuple[int, list, object]] = []   # (real, items, marked u8)
     frames = 0
 
+    luma_size = width * height
+    fb = frame_bytes(width, height)
+
     def dispatch():
         nonlocal items
         if not items:
             return
         real = len(items)
+        t0 = time.perf_counter()                   # host batch assembly
         lumas = pad_to_batch(
             np.stack([split_planes(f, width, height)[0] for f, _ in items]),
             batch_size)
         marked, _ = engine.embed_luma_u8(lumas, MaskType.ME)  # async
+        waits["prep_s"] += time.perf_counter() - t0
         pending.append((real, items, marked))
         waits["batches"] += 1
         items = []
@@ -312,13 +326,21 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
             t0 = time.perf_counter()
             host = np.asarray(marked)              # u8 D2H pull
             waits["collect_s"] += time.perf_counter() - t0
-            t0 = time.perf_counter()
             for i, (frame, followers) in enumerate(batch_items[:real]):
-                _, u, v = split_planes(frame, width, height)
-                sink.put(host[i].tobytes() + u.tobytes() + v.tobytes())
+                # ONE copy assembles the output frame (marked luma +
+                # source chroma) into a fresh buffer; the writers take
+                # arrays zero-copy (they were two more copies per frame
+                # before r5 — the soak row's unattributed host time)
+                t0 = time.perf_counter()
+                emitted = np.empty(fb, np.uint8)
+                emitted[:luma_size] = host[i].ravel()
+                emitted[luma_size:] = frame[luma_size:]
+                waits["emit_s"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                sink.put(emitted)
                 for follower in followers:
-                    sink.put(follower.tobytes())
-            waits["write_s"] += time.perf_counter() - t0
+                    sink.put(follower)
+                waits["write_s"] += time.perf_counter() - t0
 
     start = time.perf_counter()
     try:
@@ -340,7 +362,7 @@ def embed_video(settings: Settings, engine: BatchedWatermark | None = None,
                 # is still growing until the next sample arrives)
                 pending[-1][1][-1][1].append(frame)
             else:
-                sink.put(frame.tobytes())
+                sink.put(frame)         # zero-copy passthrough
             frames += 1
         dispatch()
         collect(block_all=True)

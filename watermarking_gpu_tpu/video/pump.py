@@ -170,17 +170,29 @@ class FrameWriter:
                 self._error = True
 
     def put(self, frame: np.ndarray | bytes):
-        data = frame.tobytes() if isinstance(frame, np.ndarray) else frame
-        if len(data) != self.frame_bytes:
+        """Queue one frame. Arrays are passed ZERO-COPY (enqueued by
+        reference on the Python path; pointer handed to the native ring,
+        which memcpys into its own buffer) — the caller must not mutate
+        an array after putting it. The old ``tobytes()`` staging copied
+        every frame twice on the egress hot path (r5 soak attribution)."""
+        if isinstance(frame, np.ndarray):
+            if frame.dtype != np.uint8 or not frame.flags.c_contiguous:
+                frame = np.ascontiguousarray(frame, dtype=np.uint8)
+            nbytes = frame.nbytes
+        else:
+            nbytes = len(frame)
+        if nbytes != self.frame_bytes:
             raise ValueError(
-                f"frame is {len(data)} bytes, expected {self.frame_bytes}")
+                f"frame is {nbytes} bytes, expected {self.frame_bytes}")
         if self._native:
-            if self._lib.wmp_writer_put(self._handle, data) < 0:
+            src = (frame.ctypes.data_as(ctypes.c_char_p)
+                   if isinstance(frame, np.ndarray) else frame)
+            if self._lib.wmp_writer_put(self._handle, src) < 0:
                 raise IOError("native frame writer failed")
         else:
             if self._error:
                 raise IOError("frame writer failed")
-            self._queue.put(data)
+            self._queue.put(frame)
 
     def close(self):
         if self._native:
