@@ -307,6 +307,16 @@ def pinned_jit(fun, force_pin: bool = False):
                 # starts come from our OWN AOT side-cache instead
                 # (pinned_cache_dir): executables serialized after
                 # compile, tag-checked on reload.
+                import time as _time
+                stage_t = {}           # WMTPU_TIMING=1: per-stage seconds
+                t_stage = _time.perf_counter()
+
+                def _mark(name):
+                    nonlocal t_stage
+                    now = _time.perf_counter()
+                    stage_t[name] = stage_t.get(name, 0.0) + (now - t_stage)
+                    t_stage = now
+
                 with _compile_lock, _no_persistent_cache():
                     try:
                         lowered = jitted.lower(*flat)
@@ -323,6 +333,7 @@ def pinned_jit(fun, force_pin: bool = False):
                                      else jax.device_put(a, f)
                                      for a, f in zip(flat, in_s))
                         lowered = jitted.lower(*flat)
+                    _mark("lower")
                     side_dir = pinned_cache_dir()
                     path = None
                     if side_dir is not None:
@@ -333,6 +344,7 @@ def pinned_jit(fun, force_pin: bool = False):
                                 str(dev),
                             ]).encode()).hexdigest()
                         path = os.path.join(side_dir, f"{digest}.aot")
+                        _mark("digest")
                     compiled = None
                     quarantined = (path is not None
                                    and os.path.exists(path + ".quarantine"))
@@ -345,6 +357,7 @@ def pinned_jit(fun, force_pin: bool = False):
                             with contextlib.suppress(OSError):
                                 os.remove(path)
                             compiled = None
+                        _mark("aot_load")
                     if compiled is not None:
                         # validate by EXECUTION: reloaded executables can
                         # pass the metadata check yet return arrays with
@@ -407,12 +420,22 @@ def pinned_jit(fun, force_pin: bool = False):
                                              "an executable whose output "
                                              "arrays carry non-pinned "
                                              "layout tags\n")
+                    if compiled is not None:
+                        _mark("probe")
                     if compiled is None:
                         compiled = lowered.compile()
+                        _mark("compile")
                         if path is not None and not quarantined:
                             with contextlib.suppress(Exception):
                                 _aot_store(path, compiled)
+                            _mark("store")
                     entry = cache[key] = (compiled, in_s)
+                if os.environ.get("WMTPU_TIMING"):
+                    shapes = [s[0] for s in (_spec(a) for a in flat) if s]
+                    print(f"[pinned_jit] {getattr(fun, '__name__', '?')} "
+                          f"{shapes}: " + " ".join(
+                              f"{k}={v:.2f}s" for k, v in stage_t.items()),
+                          flush=True)
         call, in_s = entry
         if in_s is None:
             return call(*flat)
