@@ -66,6 +66,9 @@ def run_child(rows: int, cols: int, cache_dir: str,
         capture_output=True, text=True, env=env, cwd=REPO)
     if out.returncode != 0:
         raise SystemExit(f"child failed:\n{out.stderr[-2000:]}")
+    for line in out.stdout.splitlines():
+        if "[pinned_jit]" in line:       # WMTPU_TIMING=1 stage breakdown
+            print(line, flush=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

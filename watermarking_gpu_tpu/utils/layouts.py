@@ -195,6 +195,34 @@ def _nbytes(spec) -> int:
 
 
 @contextlib.contextmanager
+def _stable_locations():
+    """Lower without Python caller tracebacks in MLIR locations.
+
+    The Mosaic kernel payload (the pallas custom_call's backend_config)
+    embeds the full Python traceback of the trace site — INCLUDING the
+    application's own frames ("<stdin>":7, bench.py:123, ...). Two
+    different driver scripts (or the same script edited by a line) then
+    lower byte-different text for the identical program, so the AOT
+    side-cache digest never matches across applications and every warm
+    start silently recompiled (r5 measured: warm 243 s vs cold 192 s —
+    the cache was all misses + probe overhead). Dropping caller frames
+    from locations makes the lowered text a pure function of the program
+    (verified: digests byte-identical across shifted call sites); repo-
+    file op metadata that errors cite is unaffected.
+    """
+    name = "jax_include_full_tracebacks_in_locations"
+    prev = getattr(jax.config, name, None)
+    if prev is None:
+        yield
+        return
+    jax.config.update(name, False)
+    try:
+        yield
+    finally:
+        jax.config.update(name, prev)
+
+
+@contextlib.contextmanager
 def _no_persistent_cache():
     """Make compiles inside the block genuinely skip jax's persistent
     compilation cache.
@@ -317,7 +345,8 @@ def pinned_jit(fun, force_pin: bool = False):
                     stage_t[name] = stage_t.get(name, 0.0) + (now - t_stage)
                     t_stage = now
 
-                with _compile_lock, _no_persistent_cache():
+                with _compile_lock, _no_persistent_cache(), \
+                        _stable_locations():
                     try:
                         lowered = jitted.lower(*flat)
                     except ValueError as e:
@@ -345,6 +374,13 @@ def pinned_jit(fun, force_pin: bool = False):
                             ]).encode()).hexdigest()
                         path = os.path.join(side_dir, f"{digest}.aot")
                         _mark("digest")
+                        _dump = os.environ.get("WMTPU_DUMP_LOWERED")
+                        if _dump:
+                            os.makedirs(_dump, exist_ok=True)
+                            with open(os.path.join(
+                                    _dump, digest[:12] + ".mlir"),
+                                    "w") as _fh:
+                                _fh.write(lowered.as_text())
                     compiled = None
                     quarantined = (path is not None
                                    and os.path.exists(path + ".quarantine"))
