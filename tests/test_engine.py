@@ -224,6 +224,19 @@ def test_warmup(small_image, small_watermark):
     assert ("detect", MaskType.NVF, "xla") in eng._fn_cache
 
 
+def test_warmup_single_mask(small_image, small_watermark):
+    """warmup(mask_type=...) compiles only that mask's programs — at
+    flip-prone geometries each embed pays an uncacheable live compile
+    (utils/layouts.py), so a single-mask serving restart halves warmup."""
+    h, w = small_image.shape
+    eng = Watermark(h, w, small_watermark, p=3, psnr=40.0, impl="xla")
+    eng.warmup(mask_type="me")
+    assert ("embed", MaskType.ME, "xla") in eng._fn_cache
+    assert ("detect", MaskType.ME, "xla") in eng._fn_cache
+    assert ("embed", MaskType.NVF, "xla") not in eng._fn_cache
+    assert ("detect", MaskType.NVF, "xla") not in eng._fn_cache
+
+
 @pytest.mark.parametrize("mask,impl,p", [
     ("me", "xla", 3), ("me", "pallas", 3), ("me", "xla", 5),
     ("me", "pallas", 5), ("me", "pallas", 7), ("me", "xla", 9),

@@ -229,6 +229,28 @@ def test_precomputed_padded_watermark_identical(rng):
     assert saw_padded and saw_none
 
 
+def test_precompute_padded_watermark_host_producer(rng):
+    """The padded watermark is edge-padded on the HOST and uploaded with
+    an explicit row-major Format (no compile): values must match the
+    in-jit pad_image exactly and the tag must be row-major — the pre-r5
+    jitted producer force-pinned the same tag but paid an uncacheable
+    live compile on every process start (utils/layouts.py)."""
+    from watermarking_gpu_tpu.ops.pallas.common import RAW_PAD, pad_image
+    from watermarking_gpu_tpu.ops.pallas.fused import pipeline_geometry
+    from watermarking_gpu_tpu.ops.pipelines import \
+        precompute_padded_watermark
+
+    rows, cols = 512, 260
+    wm = rng.normal(size=(rows, cols)).astype(np.float32)
+    got = precompute_padded_watermark(jnp.asarray(wm), "me")
+    assert got is not None
+    _, _, rows_padded = pipeline_geometry(rows, cols, "me", 3)
+    want = pad_image(jnp.asarray(wm), RAW_PAD, rows_padded)
+    assert got.shape == want.shape and got.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert tuple(got.format.layout.major_to_minor) == (0, 1)
+
+
 @pytest.mark.parametrize("p,rows", [(5, 72), (7, 72), (9, 20)])
 def test_mixed_wide_me_matches_xla(rng, p, rows):
     """impl='pallas' at ME p>3 runs the FUSED wide pipeline (wide lag-Gram

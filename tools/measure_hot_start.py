@@ -32,6 +32,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, sys, time
 rows, cols = int(sys.argv[1]), int(sys.argv[2])
+mask = sys.argv[3] if len(sys.argv) > 3 else ""
 t0 = time.time()
 if os.environ.get("WM_FORCE_CPU"):   # smoke-test mode: the ambient TPU
     import jax                       # plugin outranks JAX_PLATFORMS
@@ -40,7 +41,9 @@ import numpy as np
 from watermarking_gpu_tpu.models.watermark import Watermark
 engine = Watermark(rows, cols, 28390211, p=3, psnr=40.0)
 t_init = time.time()
-engine.warmup()          # compiles (or reloads) embed + detect programs
+# compiles (or reloads) embed + detect programs; a mask argument warms
+# only that mask (the single-mask serving-restart scenario)
+engine.warmup(mask_type=mask or None)
 t_warm = time.time()
 img = np.clip(np.random.default_rng(0).normal(128, 40, (rows, cols)),
               0, 255).astype(np.float32)
@@ -57,18 +60,21 @@ print(json.dumps({
 
 
 def run_child(rows: int, cols: int, cache_dir: str,
-              force_cpu: bool = False) -> dict:
+              force_cpu: bool = False, mask: str = "",
+              stage_log: list | None = None) -> dict:
     env = dict(os.environ, WMTPU_PINNED_CACHE=cache_dir)
     if force_cpu:
         env["WM_FORCE_CPU"] = "1"
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(rows), str(cols)],
+        [sys.executable, "-c", CHILD, str(rows), str(cols), mask],
         capture_output=True, text=True, env=env, cwd=REPO)
     if out.returncode != 0:
         raise SystemExit(f"child failed:\n{out.stderr[-2000:]}")
     for line in out.stdout.splitlines():
         if "[pinned_jit]" in line:       # WMTPU_TIMING=1 stage breakdown
             print(line, flush=True)
+            if stage_log is not None:
+                stage_log.append(line)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -79,25 +85,48 @@ def main():
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend in the children "
                              "(smoke-test mode)")
+    parser.add_argument("--mask", default="",
+                        help="warm a single mask type in the children "
+                             "(the serving-restart scenario), e.g. 'me'")
+    parser.add_argument("--json", default="",
+                        help="also write the summary (plus WMTPU_TIMING "
+                             "stage lines) to this JSON file")
     args = parser.parse_args()
     cache_dir = tempfile.mkdtemp(prefix="wm_pinned_hotstart_")
     print(f"side-cache: {cache_dir}")
+    stages: list = []
     t0 = time.time()
-    cold = run_child(args.rows, args.cols, cache_dir, args.cpu)
+    cold = run_child(args.rows, args.cols, cache_dir, args.cpu, args.mask,
+                     stages)
     print(f"cold start: {json.dumps(cold)} (wall {time.time() - t0:.0f}s)")
     entries = len(os.listdir(cache_dir))
     print(f"cache entries written: {entries}")
     t1 = time.time()
-    warm = run_child(args.rows, args.cols, cache_dir, args.cpu)
+    warm = run_child(args.rows, args.cols, cache_dir, args.cpu, args.mask,
+                     stages)
     print(f"warm start: {json.dumps(warm)} (wall {time.time() - t1:.0f}s)")
     speedup = (cold["warmup_s"] / warm["warmup_s"]
                if warm["warmup_s"] else float("inf"))
     assert abs(cold["roundtrip_corr"] - warm["roundtrip_corr"]) < 1e-6, \
         "warm-start results diverged from cold-start"
-    print(json.dumps({"cold_warmup_s": cold["warmup_s"],
-                      "warm_warmup_s": warm["warmup_s"],
-                      "speedup": round(speedup, 1),
-                      "cache_entries": entries}))
+    summary = {"rows": args.rows, "cols": args.cols,
+               "mask": args.mask or "both",
+               "cold_warmup_s": cold["warmup_s"],
+               "warm_warmup_s": warm["warmup_s"],
+               "speedup": round(speedup, 1),
+               "cache_entries": entries}
+    print(json.dumps(summary))
+    if args.json:
+        payload = dict(summary, cold=cold, warm=warm, stage_lines=stages)
+        if os.path.exists(args.json):
+            merged = json.load(open(args.json))
+            if not isinstance(merged, list):
+                merged = [merged]
+        else:
+            merged = []
+        merged.append(payload)
+        with open(args.json, "w") as fh:
+            json.dump(merged, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -174,15 +174,24 @@ class Watermark:
 
     # -- public API ---------------------------------------------------------
 
-    def warmup(self, channels: int = 0) -> None:
+    def warmup(self, channels: int = 0,
+               mask_type: "MaskType | str | None" = None) -> None:
         """Pre-compile both mask types (serving cold-start avoidance).
 
         channels=3 additionally warms the RGB-output embed variant.
+        mask_type restricts warmup to one mask: at flip-prone geometries
+        the embed programs cannot warm-start from the AOT side-cache
+        (pinned array outputs do not survive executable serialization on
+        this stack — utils/layouts.py), so each mask's embed pays a live
+        compile (~4-5 s at 4K); a serving restart that only embeds ME
+        halves that by warming ME alone.
         """
         import numpy as np
 
+        masks = ((MaskType.parse(mask_type),) if mask_type is not None
+                 else (MaskType.NVF, MaskType.ME))
         gray = np.zeros((self.rows, self.cols), dtype=np.float32)
-        for mask_type in (MaskType.NVF, MaskType.ME):
+        for mask_type in masks:
             out = gray if channels == 0 else np.zeros(
                 (self.rows, self.cols, channels), dtype=np.float32)
             jax.block_until_ready(self.embed(gray, out, mask_type)[0])

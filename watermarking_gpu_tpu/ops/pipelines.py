@@ -151,22 +151,38 @@ def precompute_padded_watermark(watermark: jnp.ndarray, mask_type: str,
     embeds/detects (engines, benchmarks) should pay this edge-pad copy once
     and pass the result as ``watermark_padded`` — at 4K with small batches
     the in-jit re-pad otherwise costs ~6% of the round trip.
+
+    Computed on the HOST (numpy edge-pad) and uploaded with an explicitly
+    row-major ``Format``: the padded width is never 128-lane aligned
+    (cols + 2*RAW_PAD), so XLA's auto choice would tag it transposed and
+    every consumer step would relayout-copy it per dispatch (measured
+    66 us/frame at 4K-3872). The pre-r5 on-device producer force-pinned a
+    jitted pad for the same tag — but pinned array-OUTPUT programs cannot
+    warm-start from the AOT side-cache (reloaded executables abandon
+    pinned output layouts, utils/layouts.py), so the two producers alone
+    cost ~2.1 s of live compile on every process start at 4K-nd;
+    ``device_put`` with a target Format needs no compile at all.
     """
-    from ..utils.layouts import pinned_jit
-    from .pallas.common import RAW_PAD, pad_image, raw_mode_ok
+    import numpy as np
+
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    from ..utils.layouts import _pin_device
+    from .pallas.common import RAW_PAD, raw_mode_ok
     from .pallas.fused import pipeline_geometry
 
     rows, cols = watermark.shape[-2:]
     _, strip, rows_padded = pipeline_geometry(rows, cols, mask_type, p)
     if not raw_mode_ok(rows, strip, rows_padded):
         return None
-    # force-pinned row-major output: the padded watermark's width is never
-    # 128-lane aligned (cols + 2*RAW_PAD), so XLA's auto choice would tag
-    # it transposed and every consumer step would relayout-copy it per
-    # dispatch (measured 66 us/frame at 4K-3872); force_pin makes the tag
-    # deterministic for both pinned and plain consumers (utils/layouts.py)
-    return pinned_jit(lambda wm: pad_image(wm, RAW_PAD, rows_padded),
-                      force_pin=True)(jnp.asarray(watermark, jnp.float32))
+    wm = np.asarray(watermark, dtype=np.float32)
+    widths = [(0, 0)] * (wm.ndim - 2)
+    widths += [(RAW_PAD, RAW_PAD + rows_padded - rows), (RAW_PAD, RAW_PAD)]
+    padded = np.pad(wm, widths, mode="edge")
+    fmt = Format(Layout(major_to_minor=tuple(range(padded.ndim))),
+                 SingleDeviceSharding(_pin_device()))
+    return jax.device_put(padded, fmt)
 
 
 def _fused_analysis(img3, pred_p: int):
