@@ -38,9 +38,20 @@ if os.environ.get("WM_FORCE_CPU"):   # smoke-test mode: the ambient TPU
     import jax                       # plugin outranks JAX_PLATFORMS
     jax.config.update("jax_platforms", "cpu")
 import numpy as np
+import jax, jax.numpy as jnp
 from watermarking_gpu_tpu.models.watermark import Watermark
 engine = Watermark(rows, cols, 28390211, p=3, psnr=40.0)
 t_init = time.time()
+# Establish the tunnel's per-process execute/D2H channels BEFORE timing
+# warmup: the first program execution and first device->host pull of a
+# process block on channel setup — ~40 s healthy, 10-20 MINUTES in the
+# tunnel's degraded windows (r5 measured 642 s / 1134 s on back-to-back
+# runs) — and both cold and warm children pay it identically, so folding
+# it into warmup_s swamps exactly the compile-vs-reload difference this
+# tool exists to measure. A real (non-tunneled) deployment has no such
+# channel cost; it is reported separately as channel_setup_s.
+np.asarray(jnp.zeros((8, 128)) + 1.0)
+t_chan = time.time()
 # compiles (or reloads) embed + detect programs; a mask argument warms
 # only that mask (the single-mask serving-restart scenario)
 engine.warmup(mask_type=mask or None)
@@ -52,7 +63,8 @@ corr = float(engine.detect(np.asarray(marked), "me"))
 t_done = time.time()
 print(json.dumps({
     "import_and_device_s": round(t_init - t0, 2),
-    "warmup_s": round(t_warm - t_init, 2),
+    "channel_setup_s": round(t_chan - t_init, 2),
+    "warmup_s": round(t_warm - t_chan, 2),
     "roundtrip_corr": round(corr, 6),
     "total_s": round(t_done - t0, 2),
 }))
