@@ -211,20 +211,23 @@ def _clamp_fix_ring(u_ext, strip_index, strip, rows, row_start, half=1):
                            axis=1)
 
 
-def _detect_tail_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
-                      strip_index, *, pad: int, strip: int, width: int,
-                      rows: int, total_rows: int, mask_type: str, p: int,
-                      masked: bool):
-    wm_ext = wm_ref
-    image_index = pl.program_id(0)
+def _tail_rows(ext, wm_ext, coeffs, strip_index, row0, *, pad: int,
+               strip: int, width: int, rows: int, total_rows: int,
+               mask_type: str, p: int, masked: bool):
+    """The detect tail's math as a PURE function of the staged strip.
+
+    Factored out of the kernel so the per-vreg op accounting
+    (tools/roofline_wide.py) traces the EXACT jnp graph the kernel runs —
+    the kernel wrapper only stages refs and accumulates the returned
+    per-column row sums. Returns (dot, norm_u, norm_z) lane partials of
+    shape (width,).
+    """
     # ME uses the generalized (p*p-1)-tap predictor; NVF keeps the
     # reference's fixed 3x3 predictor at every p (p sizes only the NVF
     # variance window, Watermark.cpp:238-241)
     pred_p = p if mask_type == "me" else 3
     taps = neighbor_offsets(pred_p)
-    n_taps = len(taps)
     half = pred_p // 2    # e_z / u ring depth
-    coeffs = [coeffs_ref[image_index * n_taps + k] for k in range(n_taps)]
 
     span = strip + 2 * half   # e_z / u region including the ring
     wspan = width + 2 * half
@@ -245,7 +248,7 @@ def _detect_tail_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
         wm_slice = wm_slice.astype(jnp.bfloat16)
     u_ext = mask_ext * wm_slice
     u_ext = _clamp_fix_ring(u_ext, strip_index, strip, total_rows,
-                            row0_ref[0], half)
+                            row0, half)
 
     # e_u over the true center from u's own ring
     e_u = u_ext[half : half + strip,
@@ -266,14 +269,32 @@ def _detect_tail_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
     else:
         e_z_masked = e_z
 
+    # sublane-only reductions into per-column lane partials
+    return (jnp.sum(e_u * e_z_masked, axis=0),
+            jnp.sum(e_u * e_u, axis=0),
+            jnp.sum(e_z_masked * e_z_masked, axis=0))
+
+
+def _detect_tail_core(coeffs_ref, row0_ref, ext, wm_ref, acc_ref,
+                      strip_index, *, pad: int, strip: int, width: int,
+                      rows: int, total_rows: int, mask_type: str, p: int,
+                      masked: bool):
+    image_index = pl.program_id(0)
+    pred_p = p if mask_type == "me" else 3
+    n_taps = len(neighbor_offsets(pred_p))
+    coeffs = [coeffs_ref[image_index * n_taps + k] for k in range(n_taps)]
+    dot, nu, nz = _tail_rows(
+        ext, wm_ref, coeffs, strip_index, row0_ref[0], pad=pad, strip=strip,
+        width=width, rows=rows, total_rows=total_rows, mask_type=mask_type,
+        p=p, masked=masked)
+
     @pl.when(strip_index == 0)
     def _():
         acc_ref[0] = jnp.zeros_like(acc_ref[0])
 
-    # sublane-only reductions into per-column lane partials
-    acc_ref[0, SLOT_DOT, :] += jnp.sum(e_u * e_z_masked, axis=0)
-    acc_ref[0, SLOT_NORM_U, :] += jnp.sum(e_u * e_u, axis=0)
-    acc_ref[0, SLOT_NORM_Z, :] += jnp.sum(e_z_masked * e_z_masked, axis=0)
+    acc_ref[0, SLOT_DOT, :] += dot
+    acc_ref[0, SLOT_NORM_U, :] += nu
+    acc_ref[0, SLOT_NORM_Z, :] += nz
 
 
 def _detect_tail_kernel(coeffs_ref, row0_ref, img_ref, wm_ref, acc_ref, *,
