@@ -29,9 +29,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench_util import measure  # noqa: E402
+from watermarking_gpu_tpu.ops.me import (  # noqa: E402
+    solve_coefficients_spd_vec)
 from watermarking_gpu_tpu.ops.pallas.common import pad_image  # noqa: E402
 from watermarking_gpu_tpu.ops.pallas.fused import (  # noqa: E402
     fused_detect_partials_padded, pipeline_geometry)
+from watermarking_gpu_tpu.ops.pallas.me_gram_wide import (  # noqa: E402
+    _assemble_wide, wide_gram_geometry, wide_gram_partials_padded,
+    wide_pad, wide_padded_row_provider)
 from watermarking_gpu_tpu.ops.pipelines import (  # noqa: E402
     _fused_analysis, detect_pipeline, embed_pipeline)
 
@@ -108,12 +113,76 @@ def main():
                 return out
             return jax.jit(run)
 
-        for name, maker, arrs in (
-                (f"p={p} wide gram + solve", make_gram_solve, (frames,)),
-                (f"p={p} detect tail kernel", make_tail,
-                 (img_p, wm_p, coeffs)),
-                (f"p={p} detect pipeline", make_detect, (frames, wm)),
-                (f"p={p} embed pipeline", make_embed, (frames, wm))):
+        # finer analysis stages (gap localization: roofline_wide.py found
+        # ~1.2 ms/frame at p=7 outside the traced kernels — gram kernel vs
+        # assembly vs solve must be separated to name the owner)
+        h = p // 2
+        wpad = wide_pad(p)
+        wg_strip, wg_rows_padded = wide_gram_geometry(ROWS, COLS, p)
+        img_wg = jax.device_put(np.asarray(pad_image(frames, wpad,
+                                                     wg_rows_padded)))
+        partials0 = None
+        if p > 3:
+            partials0 = wide_gram_partials_padded(
+                img_wg, ROWS, COLS, wpad, wg_strip, wg_rows_padded, p)
+            partials0 = jax.device_put(np.asarray(partials0))
+
+        def make_gram_kernel(kk, p=p):
+            def run(img_wg):
+                out = jnp.float32(0.0)
+                for _ in range(kk):
+                    parts = wide_gram_partials_padded(
+                        perturb(img_wg, out), ROWS, COLS, wpad, wg_strip,
+                        wg_rows_padded, p)
+                    out = jnp.sum(parts[:, 0, 0])
+                return out
+            return jax.jit(run)
+
+        def make_assembly_solve(kk, p=p):
+            def run(partials, img_wg):
+                out = jnp.float32(0.0)
+                row_of = wide_padded_row_provider(img_wg, wpad, COLS, h)
+                for _ in range(kk):
+                    gram = _assemble_wide(perturb(partials, out), row_of,
+                                          ROWS, COLS, p)
+                    c, _ = solve_coefficients_spd_vec(gram[:, :k, :k],
+                                                      gram[:, :k, k])
+                    out = jnp.sum(c[:, 0])
+                return out
+            return jax.jit(run)
+
+        rng_s = np.random.default_rng(1)
+        g = rng_s.normal(size=(batch, k, k)).astype(np.float32)
+        spd = jnp.asarray(g @ np.swapaxes(g, -1, -2)
+                          + 4.0 * k * np.eye(k, dtype=np.float32))
+        rx0 = jnp.asarray(rng_s.normal(size=(batch, k)).astype(np.float32))
+
+        def make_solve(kk, p=p):
+            def run(spd, rx0):
+                out = jnp.float32(0.0)
+                for _ in range(kk):
+                    c, _ = solve_coefficients_spd_vec(
+                        spd, perturb(rx0, out))
+                    out = jnp.sum(c[:, 0])
+                return out
+            return jax.jit(run)
+
+        rows = [
+            (f"p={p} wide gram + solve", make_gram_solve, (frames,)),
+            (f"p={p} detect tail kernel", make_tail,
+             (img_p, wm_p, coeffs)),
+            (f"p={p} detect pipeline", make_detect, (frames, wm)),
+            (f"p={p} embed pipeline", make_embed, (frames, wm)),
+            (f"p={p} solve only (n={k})", make_solve, (spd, rx0)),
+        ]
+        if p > 3:
+            rows[1:1] = [
+                (f"p={p} gram kernel partials", make_gram_kernel,
+                 (img_wg,)),
+                (f"p={p} assembly + solve", make_assembly_solve,
+                 (partials0, img_wg)),
+            ]
+        for name, maker, arrs in rows:
             per = measure(maker, arrs)
             print(f"{name:28s}: {1e3 * per / batch:8.4f} ms/frame "
                   f"({batch / per:7.1f} fps)", flush=True)

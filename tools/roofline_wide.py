@@ -125,6 +125,30 @@ def tail_ops(p: int, mask_type: str = "me"):
     return per_elem, strip, halo
 
 
+def field_ops(p: int, mask_type: str = "me"):
+    """Trace the embed field's math (fused.py::_embed_field_core structure:
+    _error_region + |e| + u = mask*wm + sum u^2 / max|e| partials)."""
+    from watermarking_gpu_tpu.ops.pallas.fused import _error_region
+
+    pad, strip, rows_padded = pipeline_geometry(ROWS, COLS, mask_type, p)
+    width = lane_padded(COLS)
+    k = p * p - 1
+    ext = jnp.zeros((strip + 2 * pad, width + 2 * pad), jnp.float32)
+    wm = jnp.zeros_like(ext)
+
+    def run(ext, wm, coeffs_vec):
+        coeffs = [coeffs_vec[i] for i in range(k)]
+        err = _error_region(ext, coeffs, pad, strip, width, p)
+        mask = jnp.abs(err)
+        u_raw = mask * wm[pad:pad + strip, pad:pad + width]
+        return (u_raw, jnp.sum(u_raw * u_raw, axis=0),
+                jnp.max(jnp.abs(err), axis=0))
+
+    jaxpr = jax.make_jaxpr(run)(ext, wm, jnp.zeros((k,), jnp.float32))
+    per_elem = _count(jaxpr.jaxpr, 1.0 / (strip * width))
+    return per_elem, strip
+
+
 def gram_ops(p: int):
     """Analytic wide-gram model (me_gram_wide core structure): per lag one
     mul + one sublane-reduce add over the strip; one lane-shifted plane per
@@ -173,6 +197,18 @@ def main():
               f"(x{total / (base_total / halo if p == 3 else base_total * 1.0):.2f}) "
               f"-> issue-bound prediction {pred:6.3f} ms/frame"
               + (f"  other={other}" if other else ""))
+
+    print("\n-- embed field (traced, _embed_field_core structure; "
+          "p=3 anchor 0.044 ms/frame) --")
+    base_f = None
+    for p in (3, 5, 7, 9):
+        per_elem, strip = field_ops(p, args.mask)
+        total = per_elem.get("arith", 0.0) + per_elem.get("move", 0.0)
+        if p == 3:
+            base_f = total
+        print(f"p={p}: strip={strip:3d} ops/elem={total:7.1f} "
+              f"-> issue-bound prediction {0.044 * total / base_f:6.3f} "
+              f"ms/frame")
 
     print("\n-- wide lag-Gram (analytic, me_gram_wide core structure) --")
     base_g = None
