@@ -159,3 +159,33 @@ def test_vectorized_spd_solver(small_image):
     np.testing.assert_array_equal(np.asarray(c_b[1]), 0.0)
     np.testing.assert_allclose(np.asarray(c_b[0]), np.asarray(c_lu),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_blocked_spd_solver(small_image):
+    """The blocked Cholesky A/B candidate (flat fused op graph in place of
+    3n fori_loop stages) matches the production vectorized solver and LU
+    on real Gram systems at every wide width, and honors the singular ->
+    invalid/zeroed soft contract."""
+    from watermarking_gpu_tpu.ops.me import (solve_coefficients_spd_blocked,
+                                             solve_coefficients_spd_vec)
+
+    for p in (5, 7, 9):
+        rx_m, rx_v = ops.me_normal_equations(jnp.asarray(small_image), p)
+        c_lu, v_lu = ops.solve_coefficients(rx_m, rx_v)
+        c_blk, v_blk = solve_coefficients_spd_blocked(rx_m, rx_v)
+        assert bool(v_lu) and bool(v_blk)
+        # atol 1e-4: cond(Rx) ~1e4 amplifies f32 reduction-order noise to
+        # ~1e-2 REL on near-zero coefficients (CLAUDE.md); absolute error
+        # stays ~3e-5 on the ~0.03-scale coefficients
+        np.testing.assert_allclose(np.asarray(c_blk), np.asarray(c_lu),
+                                   rtol=1e-3, atol=1e-4)
+        c_vec, _ = solve_coefficients_spd_vec(rx_m, rx_v)
+        np.testing.assert_allclose(np.asarray(c_blk), np.asarray(c_vec),
+                                   rtol=1e-3, atol=1e-4)
+    # batched, mixed valid/singular
+    batch_m = jnp.stack([rx_m, jnp.zeros_like(rx_m)])
+    batch_v = jnp.stack([rx_v, jnp.ones_like(rx_v)])
+    c_b, v_b = solve_coefficients_spd_blocked(batch_m, batch_v)
+    assert bool(v_b[0]) and not bool(v_b[1])
+    assert np.all(np.isfinite(np.asarray(c_b)))
+    np.testing.assert_array_equal(np.asarray(c_b[1]), 0.0)

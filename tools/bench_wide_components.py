@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench_util import measure  # noqa: E402
 from watermarking_gpu_tpu.ops.me import (  # noqa: E402
-    solve_coefficients_spd_vec)
+    solve_coefficients_spd_blocked, solve_coefficients_spd_vec)
 from watermarking_gpu_tpu.ops.pallas.common import pad_image  # noqa: E402
 from watermarking_gpu_tpu.ops.pallas.fused import (  # noqa: E402
     fused_detect_partials_padded, pipeline_geometry)
@@ -167,6 +167,16 @@ def main():
                 return out
             return jax.jit(run)
 
+        def make_solve_blocked(kk, p=p):
+            def run(spd, rx0):
+                out = jnp.float32(0.0)
+                for _ in range(kk):
+                    c, _ = solve_coefficients_spd_blocked(
+                        spd, perturb(rx0, out))
+                    out = jnp.sum(c[:, 0])
+                return out
+            return jax.jit(run)
+
         rows = [
             (f"p={p} wide gram + solve", make_gram_solve, (frames,)),
             (f"p={p} detect tail kernel", make_tail,
@@ -174,6 +184,8 @@ def main():
             (f"p={p} detect pipeline", make_detect, (frames, wm)),
             (f"p={p} embed pipeline", make_embed, (frames, wm)),
             (f"p={p} solve only (n={k})", make_solve, (spd, rx0)),
+            (f"p={p} solve blocked (n={k})", make_solve_blocked,
+             (spd, rx0)),
         ]
         if p > 3:
             rows[1:1] = [

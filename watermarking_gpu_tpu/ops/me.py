@@ -385,6 +385,131 @@ def solve_coefficients_spd_vec(rx_matrix: jnp.ndarray,
     return jnp.where(valid[..., None], x, jnp.zeros_like(x)), valid
 
 
+def _chol8_factor(a: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled lower-Cholesky factor of a batched (B, 8, 8) SPD block —
+    the factor half of ``solve_coefficients_spd``'s scalar recurrence."""
+    n = a.shape[-1]
+    aa = [[a[..., i, j] for j in range(n)] for i in range(n)]
+    low = [[None] * n for _ in range(n)]
+    for j in range(n):
+        diag = aa[j][j] - sum((low[j][k] * low[j][k] for k in range(j)),
+                              start=jnp.zeros_like(aa[j][j]))
+        low[j][j] = jnp.sqrt(diag)
+        inv = 1.0 / low[j][j]
+        for i in range(j + 1, n):
+            off = aa[i][j] - sum((low[i][k] * low[j][k] for k in range(j)),
+                                 start=jnp.zeros_like(aa[i][j]))
+            low[i][j] = off * inv
+    zero = jnp.zeros_like(aa[0][0])
+    return jnp.stack([jnp.stack([low[i][j] if j <= i else zero
+                                 for j in range(n)], axis=-1)
+                      for i in range(n)], axis=-2)
+
+
+def _trisolve_block_right(s: jnp.ndarray, l11: jnp.ndarray) -> jnp.ndarray:
+    """Solve X @ L11^T = S for X, batched: (B, r, 8) x (B, 8, 8) lower."""
+    cols: list = []
+    for c in range(l11.shape[-1]):
+        acc = s[..., c]
+        for k2 in range(c):
+            acc = acc - cols[k2] * l11[..., c, k2][..., None]
+        cols.append(acc / l11[..., c, c][..., None])
+    return jnp.stack(cols, axis=-1)
+
+
+def solve_coefficients_spd_blocked(rx_matrix: jnp.ndarray,
+                                   rx_vector: jnp.ndarray,
+                                   block: int = 8
+                                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked batched Cholesky solve for the wide (k = 24/48/80) systems.
+
+    ``solve_coefficients_spd_vec`` runs 3n sequentially-dependent
+    ``fori_loop`` stages of tiny (B, n)-tensor ops — a loop iteration on
+    TPU cannot fuse with its neighbors, so at n = 48/80 the solve is
+    bounded by per-stage overhead, not arithmetic. This variant is the
+    classic right-looking blocked factorization: n/8 unrolled 8x8 diagonal
+    factors (`_chol8_factor`, the same scalar recurrence the p=3 path
+    uses), an 8-column unrolled panel triangular solve, and MXU matmul
+    trailing updates — everything a flat fused op graph (no loop
+    machinery), ~40x fewer HLO ops than fully unrolling n = 80 (which
+    cost ~21 s of compile; this traces in well under a second).
+    Singularity surfaces as NaN/Inf -> ``valid`` exactly like the other
+    solvers. A/B against the fori_loop variant on chip before switching
+    production routing (tools/bench_wide_components.py).
+    """
+    n = rx_matrix.shape[-1]
+    if n % block:
+        return solve_coefficients_spd_vec(rx_matrix, rx_vector)
+    batch_shape = rx_matrix.shape[:-2]
+    nb = n // block
+
+    def mm(a, b):
+        return jnp.einsum("...ik,...kj->...ij", a, b, precision=_HIGHEST,
+                          preferred_element_type=jnp.float32)
+
+    panels: list = []           # (B, n, block) column panels of L
+    for b in range(nb):
+        j0 = b * block
+        s = rx_matrix[..., :, j0:j0 + block]
+        for prev, pj in zip(panels, range(0, j0, block)):
+            s = s - mm(prev, jnp.swapaxes(
+                prev[..., j0:j0 + block, :], -1, -2))
+        l11 = _chol8_factor(s[..., j0:j0 + block, :])
+        parts = [jnp.zeros(batch_shape + (j0, block), rx_matrix.dtype),
+                 l11]
+        if j0 + block < n:
+            parts.append(_trisolve_block_right(s[..., j0 + block:, :],
+                                               l11))
+        panels.append(jnp.concatenate(parts, axis=-2))
+
+    # forward substitution L y = rx, blockwise (8 unrolled scalar steps
+    # per block + one matvec against the already-solved prefix)
+    y_blocks: list = []
+    for b in range(nb):
+        j0 = b * block
+        rhs = rx_vector[..., j0:j0 + block]
+        for prev, pb in zip(panels, range(nb)):
+            if pb >= b:
+                break
+            rhs = rhs - jnp.einsum(
+                "...ik,...k->...i", prev[..., j0:j0 + block, :],
+                y_blocks[pb], precision=_HIGHEST,
+                preferred_element_type=jnp.float32)
+        l11 = panels[b][..., j0:j0 + block, :]
+        yb: list = []
+        for i in range(block):
+            acc = rhs[..., i]
+            for k2 in range(i):
+                acc = acc - l11[..., i, k2] * yb[k2]
+            yb.append(acc / l11[..., i, i])
+        y_blocks.append(jnp.stack(yb, axis=-1))
+
+    # back substitution L^T x = y, blockwise from the last block up
+    x_blocks: list = [None] * nb
+    for b in reversed(range(nb)):
+        j0 = b * block
+        rhs = y_blocks[b]
+        for pb in range(b + 1, nb):
+            pj = pb * block
+            # L^T[j0:j0+8, pj:pj+8] = panels[b][pj:pj+8, :]^T
+            rhs = rhs - jnp.einsum(
+                "...ki,...k->...i",
+                panels[b][..., pj:pj + block, :], x_blocks[pb],
+                precision=_HIGHEST, preferred_element_type=jnp.float32)
+        l11 = panels[b][..., j0:j0 + block, :]
+        xb: list = [None] * block
+        for i in reversed(range(block)):
+            acc = rhs[..., i]
+            for k2 in range(i + 1, block):
+                acc = acc - l11[..., k2, i] * xb[k2]
+            xb[i] = acc / l11[..., i, i]
+        x_blocks[b] = jnp.stack(xb, axis=-1)
+
+    x = jnp.concatenate(x_blocks, axis=-1)
+    valid = jnp.all(jnp.isfinite(x), axis=-1)
+    return jnp.where(valid[..., None], x, jnp.zeros_like(x)), valid
+
+
 def predict_from_padded(padded: jnp.ndarray, image: jnp.ndarray,
                         coefficients: jnp.ndarray,
                         p: int = 3) -> jnp.ndarray:
