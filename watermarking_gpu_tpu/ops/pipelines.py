@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from .correlation import correlation
 from .embed import embed_watermark
 from .me import (me_mask_from_error, me_normal_equations, prediction_error,
-                 solve_coefficients, solve_coefficients_spd_vec)
+                 solve_coefficients, solve_coefficients_spd_blocked,
+                 solve_coefficients_spd_vec)
 from .nvf import nvf_mask
 
 MaskTypeName = Literal["nvf", "me"]
@@ -71,13 +72,17 @@ def _analysis(image: jnp.ndarray, impl: ImplName, p: int = 3):
                 k = p * p - 1
                 rx_matrix = rx_matrix.reshape(lead + (k, k))
                 rx_vector = rx_vector.reshape(lead + (k,))
-            return solve_coefficients_spd_vec(rx_matrix, rx_vector)
+            return solve_coefficients_spd_blocked(rx_matrix, rx_vector)
     rx_matrix, rx_vector = me_normal_equations(image, p)
     # Generalized windows: the Gram is SPD; both batched LU (scalar
     # pivoting) and the n=8-style unrolled scalar Cholesky are
     # dispatch-bound at n=24 (~1 ms/frame, half the p=5 round trip). The
     # masked vectorized Cholesky does n column-stage tensor ops instead.
-    # p=3 keeps LU for the bit-stable oracle the goldens pin.
+    # p=3 keeps LU for the bit-stable oracle the goldens pin; this XLA
+    # fallback keeps the fori_loop Cholesky for the same oracle-stability
+    # reason, while the pallas production branches above use the blocked
+    # factorization (0.10 ms/frame faster at n=80, r5 on-chip A/B in
+    # tools/bench_wide_components.py).
     return solve_coefficients_spd_vec(rx_matrix, rx_vector)
 
 
@@ -198,7 +203,8 @@ def _fused_analysis(img3, pred_p: int):
         from .pallas.me_gram_wide import me_gram_wide
         gram = me_gram_wide(img3, pred_p)
         k = pred_p * pred_p - 1
-        return solve_coefficients_spd_vec(gram[:, :k, :k], gram[:, :k, k])
+        return solve_coefficients_spd_blocked(gram[:, :k, :k],
+                                              gram[:, :k, k])
     batch, rows, cols = img3.shape
     pad, strip, rows_padded = pipeline_geometry(rows, cols, "me", 3)
     if raw_mode_ok(rows, strip, rows_padded):
@@ -240,7 +246,7 @@ def _fused_front(img3, watermark, watermark_padded, mask_type, p,
         from .pallas.me_gram_wide import me_gram_wide
         gram = me_gram_wide(img3, p)
         k = p * p - 1
-        coefficients, valid = solve_coefficients_spd_vec(
+        coefficients, valid = solve_coefficients_spd_blocked(
             gram[:, :k, :k], gram[:, :k, k])
     elif need_gram:
         gram = (me_gram_raw(img3, rows, cols, RAW_PAD, strip, rows_padded)

@@ -42,6 +42,7 @@ except AttributeError:  # pragma: no cover - older jax
 
 from ..ops.me import (gram_terms_from_padded, predict_from_padded,
                       solve_coefficients, solve_coefficients_spd,
+                      solve_coefficients_spd_blocked,
                       solve_coefficients_spd_vec)
 from ..ops.pipelines import _gate
 from .mesh import SPACE_AXIS
@@ -285,8 +286,11 @@ def _wide_gram_psum_pallas(img: jnp.ndarray, p: int,
     rx_matrix, rx_vector = _gram_wide_sharded(img, p, impl="pallas",
                                               ext2h=ext2h)
     k = p * p - 1
-    return solve_coefficients_spd_vec(rx_matrix.reshape((-1, k, k)),
-                                      rx_vector.reshape((-1, k)))
+    # blocked solve: same routing as the single-chip pallas pipelines
+    # (pipelines._fused_front) — 0.10 ms/frame faster than the fori_loop
+    # Cholesky at n=80 (r5 on-chip A/B, tools/bench_wide_components.py)
+    return solve_coefficients_spd_blocked(rx_matrix.reshape((-1, k, k)),
+                                          rx_vector.reshape((-1, k)))
 
 
 def _analysis_local(img: jnp.ndarray, p: int = 3):
