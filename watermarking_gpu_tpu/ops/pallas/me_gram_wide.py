@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..neighbors import neighbor_offsets
 from .common import (interpret_mode, pad_image, pick_strip_for_width,
-                     raw_row_start, round_up, stage_raw_strip)
+                     raw_mode_ok, raw_row_start, round_up, stage_raw_strip)
 from .me_kernel import _block_row
 
 # Kernel VMEM working-set budget in f32 elements for the (span, W+2*pad)
@@ -128,13 +128,22 @@ def wide_gram_supported(rows: int, cols: int, p: int) -> bool:
 
 
 def wide_gram_geometry(rows: int, cols: int, p: int) -> tuple[int, int]:
-    """(strip, rows_padded) for the wide Gram: the unconstrained
-    budget-maximal pick. The pre-r5 version biased the pick toward
-    raw-mode eligibility (capping strip at half the rows to restore >= 2
-    strips); with the wide kernel routed to the padded formulation (see
-    ``me_gram_wide``) that bias only shrank strips on short frames."""
+    """(strip, rows_padded) for the wide Gram, preferring raw-eligible
+    geometry: when the unconstrained pick lands on a single strip, a pick
+    capped at half the rows restores >= 2 strips so the zero-copy raw path
+    applies (same trade as ``fused.pipeline_geometry``)."""
+    from .common import budget_rows, pick_strip
+
     pad = wide_pad(p)
-    return pick_strip_for_width(rows, cols, BUDGET, pad)
+    strip, rows_padded = pick_strip_for_width(rows, cols, BUDGET, pad)
+    if not raw_mode_ok(rows, strip, rows_padded, pad):
+        budget_strip = budget_rows(BUDGET, cols, pad)
+        capped = max(8, rows // 2 // 8 * 8)
+        strip2, rows_padded2 = pick_strip(rows, min(budget_strip, capped),
+                                          pad)
+        if raw_mode_ok(rows, strip2, rows_padded2, pad):
+            return strip2, rows_padded2
+    return strip, rows_padded
 
 
 # -- kernel -------------------------------------------------------------
@@ -385,17 +394,22 @@ def me_gram_wide(image: jnp.ndarray, p: int) -> jnp.ndarray:
     _, rows, cols = image.shape
     pad = wide_pad(p)
     strip, rows_padded = wide_gram_geometry(rows, cols, p)
-    # Always the PADDED formulation. Raw mode (VMEM-staged halos), which
-    # removes the p=3 kernels' bandwidth-bound XLA edge-pad, is a measured
-    # NEGATIVE for this kernel: at 1080p batch=8 the raw route costs
-    # +0.10/+0.52/+0.59 ms/frame at p=5/7/9 over padded-kernel + assembly
-    # (tools/bench_wide_components.py, r5 on-chip) — the wide pad (8/16/16
-    # columns) plus the per-strip (strip+2pad, cols+2pad) scratch staging
-    # far exceeds the one edge-pad copy it saves. me_gram_wide_raw stays
-    # for the A/B harness (tools/bench_wide_gram_raw_ab.py).
-    padded = pad_image(image, pad, rows_padded)
-    gram = me_gram_wide_padded(padded, rows, cols, pad, strip,
-                               rows_padded, p)
+    # RAW (VMEM-staged halos) when the geometry allows — settled by the
+    # r5 on-chip A/B (tools/bench_wide_gram_raw_ab.py, 1080p p=7 batch=8):
+    # the raw route measures 0.94 ms/frame against 1.27 for the padded
+    # route once the edge-pad copy the padded kernel needs is included
+    # (the pad alone costs ~0.86 ms/frame — the pad output's misaligned
+    # width keeps it from fusing; it dwarfs the ~0.5 ms the in-kernel
+    # halo staging adds over the bare padded kernel's 0.39). Component
+    # rows that feed a PRE-padded device array (bench_wide_components)
+    # therefore flatter the padded kernel; route on the end-to-end A/B.
+    if raw_mode_ok(rows, strip, rows_padded, pad):
+        gram = me_gram_wide_raw(image, rows, cols, pad, strip, rows_padded,
+                                p)
+    else:
+        padded = pad_image(image, pad, rows_padded)
+        gram = me_gram_wide_padded(padded, rows, cols, pad, strip,
+                                   rows_padded, p)
     return gram[0] if squeeze else gram
 
 
